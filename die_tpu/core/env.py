@@ -1,0 +1,201 @@
+"""Pure-functional environment step — TPU twin of ``Env.step`` (core/env.py:101-131).
+
+Substep order is semantically significant and preserved exactly
+(deposit happens *after* move so agents don't immediately sense their own
+fresh trail — reference design note core/__init__.py:159-163):
+
+  1. move            (core/env.py:163-176)
+  2. deposit+layout  (core/env.py:204-215)
+  3. feed            (core/env.py:220-243)
+  4. lifecycle       (core/env.py:245-261)
+  5. food flow       (core/env.py:147-150)
+  6. diffuse+decay   (core/env.py:136-145)
+
+Duplicate/collision semantics are pinned to the reference's observable
+behavior (SURVEY §3-B ledger):
+  * deposit scatter: when K alive agents share a cell, the chem gains exactly
+    ONE deposit — the highest-slot-index agent's (numpy buffered fancy-index
+    ``+=`` drops duplicates, last write wins; core/env.py:211).  Implemented
+    here deterministically via a scatter-max "winner" index per cell.
+  * feed gather: K co-located agents EACH gain the full ``rate_feed * food``
+    of their cell while the field loses it once (core/env.py:223-228).
+  * dead slots sit at (0,0), still gather cell (0,0) food and burn action
+    costs (``only_alive=False`` at core/env.py:225).
+
+Everything is fp32 with operation order pinned to match the NumPy oracle
+(die_tpu/oracle/env.py) bit-for-bit.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from die_tpu.core import channels as ch
+from die_tpu.core.config import Boundary, Dynamics
+from die_tpu.core.mathx import div, hypot2, tree_sum, wrap01
+from die_tpu.core.state import EnvState, StepInfo
+from die_tpu.ops.gaussian import separable_gaussian
+from die_tpu.ops.waves import flow_time, wave_field
+
+_F0 = np.float32(0.0)
+_F1 = np.float32(1.0)
+
+
+def coords_to_cells(coord, size: int):
+    """Float coord in [0,1] -> nearest cell index on the linspace(0,1,size)
+    grid: round-half-up of ``c*(size-1)``, clipped (xarray ``method='nearest'``
+    clamps out-of-range lookups — core/utils.py:53)."""
+    scaled = coord * np.float32(size - 1) + np.float32(0.5)
+    idx = jnp.floor(scaled).astype(jnp.int32)
+    return jnp.clip(idx, 0, size - 1)
+
+
+def agent_cells(agents, field_size):
+    W, H = field_size
+    ix = coords_to_cells(agents[ch.CH_AGT_X], W)
+    iy = coords_to_cells(agents[ch.CH_AGT_Y], H)
+    return ix, iy
+
+
+def gather_field(field, ix, iy):
+    """Per-agent nearest-cell gather (AgentIndexer.field_by_agents,
+    core/utils.py:39-54)."""
+    H = field.shape[-1]
+    flat = field.reshape(-1)
+    return jnp.take(flat, ix * H + iy)
+
+
+def _move(dynamics: Dynamics, agents, action):
+    """Substep 1 — core/env.py:163-176."""
+    xy = agents[ch.CH_AGT_X : ch.CH_AGT_Y + 1]
+    dxy = action[ch.CH_ACT_DX : ch.CH_ACT_DY + 1]
+    new = xy + dxy
+    if dynamics.boundary == Boundary.WRAP:
+        new = wrap01(new)
+    else:
+        new = jnp.clip(new, _F0, _F1)
+    return agents.at[ch.CH_AGT_X : ch.CH_AGT_Y + 1].set(new)
+
+
+def _deposit_and_layout(dynamics: Dynamics, medium, agents, action):
+    """Substep 2 — core/env.py:204-215.  Alive agents only."""
+    W, H = medium.shape[-2], medium.shape[-1]
+    n = agents.shape[-1]
+    ix, iy = agent_cells(agents, (W, H))
+    alive = agents[ch.CH_AGT_ALIVE] > _F0
+    cell = ix * H + iy
+    hw = W * H
+    # out-of-range sentinel for dead slots -> dropped by scatter mode='drop'
+    cell_masked = jnp.where(alive, cell, hw)
+
+    # winner[cell] = highest slot index of an alive agent on that cell
+    slot = jnp.arange(n, dtype=jnp.int32)
+    winner = jnp.full((hw,), -1, jnp.int32).at[cell_masked].max(
+        slot, mode="drop", indices_are_sorted=False, unique_indices=False
+    )
+    deposit = action[ch.CH_ACT_DEPOSIT]
+    dep_add = jnp.where(winner >= 0, jnp.take(deposit, jnp.clip(winner, 0)), _F0)
+    chem = medium[ch.CH_MED_CHEM].reshape(-1) + dep_add
+
+    occupancy = (winner >= 0).astype(jnp.float32)
+
+    medium = medium.at[ch.CH_MED_CHEM].set(chem.reshape(W, H))
+    medium = medium.at[ch.CH_MED_AGENTS].set(occupancy.reshape(W, H))
+    return medium
+
+
+def _feed(dynamics: Dynamics, medium, agents, action):
+    """Substep 3 — core/env.py:220-243.  Returns (medium, agents, gained)."""
+    W, H = medium.shape[-2], medium.shape[-1]
+    env_food = medium[ch.CH_MED_FOOD]
+    occupancy_mask = (medium[ch.CH_MED_AGENTS] > _F0).astype(jnp.float32)
+    consumed_field = np.float32(dynamics.rate_feed) * env_food * occupancy_mask
+
+    ix, iy = agent_cells(agents, (W, H))
+    consumed = gather_field(consumed_field, ix, iy)  # ALL slots, incl. dead
+
+    if not dynamics.food_infinite:
+        medium = medium.at[ch.CH_MED_FOOD].set(env_food - consumed_field)
+
+    if dynamics.zero_cost:
+        burned = jnp.zeros_like(consumed)
+    else:
+        dist = hypot2(action[ch.CH_ACT_DX], action[ch.CH_ACT_DY])
+        burned = (
+            np.float32(dynamics.cost_weight_deposit) * jnp.abs(action[ch.CH_ACT_DEPOSIT])
+            + np.float32(dynamics.cost_weight_dist) * dist
+        )
+    gained = consumed - burned
+    agents = agents.at[ch.CH_AGT_FOOD].set(agents[ch.CH_AGT_FOOD] + gained)
+    return medium, agents, gained
+
+
+def _lifecycle(dynamics: Dynamics, agents):
+    """Substep 4 — core/env.py:245-261."""
+    if dynamics.agents_die:
+        have_food = agents[ch.CH_AGT_FOOD] > np.float32(1e-4)
+        agents = jnp.where(have_food[None, :], agents, _F0)
+    # agents_born: TODO in the reference too (core/env.py:256-261)
+    return agents
+
+
+def _resource_dynamics(dynamics: Dynamics, medium, flow_step):
+    """Substep 5 — core/env.py:147-150."""
+    if dynamics.flow.kind == "none":
+        return medium, flow_step
+    if dynamics.flow.kind != "wave":
+        raise ValueError(f"unknown flow kind {dynamics.flow.kind!r}")
+    W, H = medium.shape[-2], medium.shape[-1]
+    t = flow_time(dynamics.flow, flow_step)
+    f = wave_field((W, H), t)
+    food = medium[ch.CH_MED_FOOD]
+    food = np.float32(dynamics.flow.scale) * f + (
+        _F1 - np.float32(dynamics.flow.decay)
+    ) * food
+    return medium.at[ch.CH_MED_FOOD].set(food), flow_step + 1
+
+
+def _diffuse_decay(dynamics: Dynamics, medium):
+    """Substep 6 — core/env.py:136-145."""
+    chem = medium[ch.CH_MED_CHEM]
+    diffused = separable_gaussian(chem, dynamics.diffuse_sigma,
+                                  dynamics.diffuse_mode.value)
+    diffused = diffused * (_F1 - np.float32(dynamics.rate_decay_chem))
+    return medium.at[ch.CH_MED_CHEM].set(diffused)
+
+
+def env_step(dynamics: Dynamics, state: EnvState, action):
+    """One full environment step.  Pure; jit with ``dynamics`` static."""
+    agents = _move(dynamics, state.agents, action)
+    medium = _deposit_and_layout(dynamics, state.medium, agents, action)
+    medium, agents, gained = _feed(dynamics, medium, agents, action)
+    agents = _lifecycle(dynamics, agents)
+    medium, flow_step = _resource_dynamics(dynamics, medium, state.flow_step)
+    medium = _diffuse_decay(dynamics, medium)
+
+    num_agents = jnp.sum((agents[ch.CH_AGT_ALIVE] > _F0).astype(jnp.int32))
+    reward = tree_sum(gained)
+    safe_n = jnp.where(num_agents > 0, num_agents, 1).astype(jnp.float32)
+    mean_reward = jnp.where(num_agents > 0, div(reward, safe_n), _F0)
+    info = StepInfo(reward=reward, num_agents=num_agents,
+                    mean_reward=mean_reward, terminated=num_agents == 0)
+    return EnvState(medium=medium, agents=agents, flow_step=flow_step), info
+
+
+def sense_mask(dynamics: Dynamics, medium):
+    """Neighbourhood visibility mask — core/env.py:276-288."""
+    if not dynamics.apply_sense_mask:
+        return None
+    from die_tpu.core.mathx import round3
+
+    occ = medium[ch.CH_MED_AGENTS]
+    blurred = separable_gaussian(occ, dynamics.sense_mask_sigma, "nearest")
+    return jnp.ceil(round3(blurred))
+
+
+def observe(dynamics: Dynamics, state: EnvState):
+    """(agents, sensed_medium) observation — core/env.py:291-298."""
+    mask = sense_mask(dynamics, state.medium)
+    if mask is None:
+        return state.agents, state.medium
+    return state.agents, state.medium * mask[None, :, :]

@@ -1,0 +1,52 @@
+"""Analytic time-varying resource fields — twin of ``WaveSequence``
+(core/data_init.py:71-89) used by the 'dyn-pred' dynamics preset.
+
+``wave_field(size, t)`` reproduces the reference formula exactly (waves +
+moving islands mixture) with the shared fp32 sincos, so the oracle and the
+TPU engine agree bitwise.  The reference evaluates it on the ``get_meshgrid``
+coordinate layout (core/utils.py:113-118): for ``field_size=(W, H)``,
+``grid[0][i, j] = linspace(0,1,H)[j]`` and ``grid[1][i, j] = linspace(0,1,W)[i]``
+(xarray's reversed dim order) — preserved here.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from die_tpu.core.mathx import PI, sincos, sqrt, xp_of
+
+
+def wave_field(size_wh, t):
+    """F(t): fp32 [W, H] field for scalar fp32 time ``t`` (np or jnp)."""
+    xp = xp_of(t)
+    W, H = size_wh
+    two = np.float32(2.0)
+    one = np.float32(1.0)
+    # reference grid: x varies along axis 1 (H), y along axis 0 (W)
+    xs_h = np.arange(H, dtype=np.float32) * np.float32(1.0 / (H - 1))
+    ys_w = np.arange(W, dtype=np.float32) * np.float32(1.0 / (W - 1))
+    x = xp.asarray((xs_h * two - one)[None, :])  # [1, H]
+    y = xp.asarray((ys_w * two - one)[:, None])  # [W, 1]
+
+    r = sqrt(x * x + y * y)  # [W, H]
+    sin_x, cos_x = sincos(PI * x)
+    sin_04y, _ = sincos(np.float32(0.4) * PI * y)
+    rwave = r + cos_x + sin_04y
+    _, z_waves = sincos(PI * (rwave + t))
+
+    s3 = np.float32(3.0)
+    sin_ix, _ = sincos(PI * x * s3 + t)
+    _, cos_iy = sincos(PI * y * s3 + t)
+    z_islands = sin_ix + cos_iy
+
+    mix = np.float32(0.25)
+    return (one - mix) * z_waves + mix * z_islands
+
+
+def flow_time(flow_cfg, step_index):
+    """fp32 time value for integer flow step: t0 + (idx mod n)*dt, cycling —
+    twin of iterating ``np.arange(t0, t1, dt)`` with ``itertools.cycle``
+    (core/data_init.py:27,40-42)."""
+    xp = xp_of(step_index)
+    n = flow_cfg.num_steps
+    idx = step_index % n
+    return np.float32(flow_cfg.t0) + idx.astype(np.float32) * np.float32(flow_cfg.dt)

@@ -1,0 +1,103 @@
+"""Full-trajectory parity (engine scan vs oracle loop) and vmap lockstep."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import pytest
+
+from die_tpu.core import channels as ch
+from die_tpu.core.config import Dynamics, FlowConfig
+from die_tpu.core.init import init_env_state
+from die_tpu.core.rng import np_fold_in, np_key
+from die_tpu.models.gradient import PhysarumPolicy
+from die_tpu.models.static import BrownianPolicy
+from die_tpu.oracle.agents import OracleBrownianAgent, OraclePhysarumAgent
+from die_tpu.oracle.env import oracle_init_state
+from die_tpu.oracle.rollout import oracle_rollout, oracle_session_keys
+from die_tpu.parallel.rollout import batch_keys, rollout
+
+SIZE = (24, 24)
+N = SIZE[0] * SIZE[1]
+
+
+def session(seed):
+    master_j = jr.PRNGKey(seed)
+    keys_j = (jr.fold_in(master_j, ch.TAG_SESSION_ENV_INIT),
+              jr.fold_in(master_j, ch.TAG_SESSION_POLICY_INIT),
+              jr.fold_in(master_j, ch.TAG_SESSION_ROLLOUT))
+    keys_n = oracle_session_keys(np_key(seed))
+    return keys_j, keys_n
+
+
+@pytest.mark.parametrize("steps", [30])
+def test_brownian_trajectory_bitwise(steps):
+    dyn = Dynamics(init_agent_ratio=0.1)
+    (kje, kjp, kjr), (kne, knp_, knr) = session(123)
+
+    js = init_env_state(kje, SIZE, dyn)
+    policy = BrownianPolicy(move_scale=0.01)
+    res = jax.jit(lambda s, k: rollout(dyn, policy, None, s, None, k, steps)
+                  )(js, kjr)
+
+    os_ = oracle_init_state(kne, SIZE, dyn)
+    agent = OracleBrownianAgent(move_scale=0.01)
+    ofinal, orewards, onum = oracle_rollout(dyn, agent, os_, knr, steps)
+
+    assert np.array_equal(np.asarray(res.rewards), orewards)
+    assert np.array_equal(np.asarray(res.num_agents), onum)
+    assert np.array_equal(np.asarray(res.state.medium), ofinal.medium)
+    assert np.array_equal(np.asarray(res.state.agents), ofinal.agents)
+
+
+@pytest.mark.parametrize("dyn", [
+    Dynamics(init_agent_ratio=0.15),
+    Dynamics(init_agent_ratio=0.15, agents_die=True,
+             flow=FlowConfig(kind="wave")),
+])
+def test_physarum_trajectory_bitwise(dyn):
+    steps = 20
+    (kje, kjp, kjr), (kne, knp_, knr) = session(7)
+
+    policy = PhysarumPolicy(max_agents=N, scale=0.007, turn_angle=30,
+                            sense_offset=0.04)
+    js = init_env_state(kje, SIZE, dyn)
+    ps = policy.init_state(kjp)
+    res = jax.jit(lambda s, p, k: rollout(dyn, policy, None, s, p, k, steps)
+                  )(js, ps, kjr)
+
+    agent = OraclePhysarumAgent(max_agents=N, scale=0.007, turn_angle=30,
+                                sense_offset=0.04)
+    os_ = oracle_init_state(kne, SIZE, dyn)
+    agent.init_state(knp_)
+    ofinal, orewards, onum = oracle_rollout(dyn, agent, os_, knr, steps)
+
+    assert np.array_equal(np.asarray(res.rewards), orewards)
+    assert np.array_equal(np.asarray(res.state.agents), ofinal.agents)
+    assert np.array_equal(np.asarray(res.state.medium), ofinal.medium)
+
+
+def test_vmap_lockstep_equals_sequential():
+    """B vmapped envs == B independent single rollouts, bitwise (SURVEY §4d)."""
+    dyn = Dynamics(init_agent_ratio=0.1)
+    B, steps = 4, 10
+    policy = BrownianPolicy()
+    master = jr.PRNGKey(99)
+    env_keys = jax.vmap(lambda b: jr.fold_in(
+        jr.fold_in(master, ch.TAG_SESSION_ENV_INIT), b))(jnp.arange(B))
+    roll_keys = jax.vmap(lambda b: jr.fold_in(
+        jr.fold_in(master, ch.TAG_SESSION_ROLLOUT), b))(jnp.arange(B))
+
+    init_b = jax.vmap(lambda k: init_env_state(k, SIZE, dyn))
+    states = init_b(env_keys)
+    batched = jax.jit(jax.vmap(
+        lambda s, k: rollout(dyn, policy, None, s, None, k, steps)))
+    res_b = batched(states, roll_keys)
+
+    single = jax.jit(lambda s, k: rollout(dyn, policy, None, s, None, k, steps))
+    for b in range(B):
+        sb = jax.tree.map(lambda x: x[b], states)
+        res_1 = single(sb, roll_keys[b])
+        assert np.array_equal(np.asarray(res_b.rewards[b]),
+                              np.asarray(res_1.rewards)), b
+        assert np.array_equal(np.asarray(res_b.state.agents[b]),
+                              np.asarray(res_1.state.agents)), b
