@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Headline benchmark: env-steps/s/chip at 256x256 Physarum, 1024 lockstep envs.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+vs_baseline is value / 1e6 (the BASELINE.md target: >=1M env-steps/s/chip).
+
+Config via env vars:
+  BENCH_ENVS   (default 1024)  number of lockstep envs
+  BENCH_FIELD  (default 256)   square field size
+  BENCH_AGENTS (default 65536) agent slots per env
+  BENCH_STEPS  (default 32)    steps per timed scan
+  BENCH_REPS   (default 3)     timed repetitions (best taken)
+Runs on whatever backend jax selects (the real TPU chip under axon).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    from die_tpu.core import channels as ch
+    from die_tpu.core.config import Dynamics
+    from die_tpu.core.init import init_env_state
+    from die_tpu.models.gradient import PhysarumPolicy
+    from die_tpu.parallel.rollout import rollout
+
+    B = int(os.environ.get("BENCH_ENVS", 1024))
+    F = int(os.environ.get("BENCH_FIELD", 256))
+    N = int(os.environ.get("BENCH_AGENTS", 65536))
+    T = int(os.environ.get("BENCH_STEPS", 32))
+    REPS = int(os.environ.get("BENCH_REPS", 3))
+
+    dyn = Dynamics(init_agent_ratio=0.15)
+    policy = PhysarumPolicy(max_agents=N, scale=0.007, turn_angle=30,
+                            sense_offset=0.04)
+
+    master = jr.PRNGKey(0)
+
+    def make_batch(b):
+        env_keys = jax.vmap(lambda i: jr.fold_in(
+            jr.fold_in(master, ch.TAG_SESSION_ENV_INIT), i))(jnp.arange(b))
+        pol_keys = jax.vmap(lambda i: jr.fold_in(
+            jr.fold_in(master, ch.TAG_SESSION_POLICY_INIT), i))(jnp.arange(b))
+        roll_keys = jax.vmap(lambda i: jr.fold_in(
+            jr.fold_in(master, ch.TAG_SESSION_ROLLOUT), i))(jnp.arange(b))
+        states = jax.jit(jax.vmap(
+            lambda k: init_env_state(k, (F, F), dyn, N)))(env_keys)
+        pstates = jax.jit(jax.vmap(policy.init_state))(pol_keys)
+        return states, pstates, roll_keys
+
+    from functools import partial
+
+    fn = partial(rollout, dyn, policy)
+
+    # NOTE: the run returns a single on-device scalar and timing syncs on its
+    # host transfer — under the axon tunnel jax.block_until_ready does not
+    # reliably block, and pulling bulk arrays would time the tunnel instead
+    # of the chip.
+    def _run(s, p, k):
+        res = jax.vmap(fn, in_axes=(None, 0, 0, 0, None, None))(
+            None, s, p, k, T, 0)
+        return jnp.sum(res.rewards)
+
+    run = jax.jit(_run)
+
+    b = B
+    while True:
+        try:
+            states, pstates, keys = make_batch(b)
+            float(np.asarray(run(states, pstates, keys)))  # compile + warmup
+            best = float("inf")
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                out = float(np.asarray(run(states, pstates, keys)))
+                best = min(best, time.perf_counter() - t0)
+            break
+        except Exception as e:  # OOM backoff
+            if b > 64 and ("RESOURCE_EXHAUSTED" in str(e) or "memory"
+                           in str(e).lower()):
+                print(f"bench: {b} envs OOM, retrying with {b//2}",
+                      file=sys.stderr)
+                b //= 2
+                continue
+            raise
+
+    env_steps_per_s = b * T / best
+    print(json.dumps({
+        "metric": f"env-steps/s/chip, {F}x{F} Physarum, {b} lockstep envs,"
+                  f" {N} agent slots",
+        "value": round(env_steps_per_s, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(env_steps_per_s / 1_000_000, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,7 @@ Everything is fp32 with operation order pinned to match the NumPy oracle
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from die_tpu.core import channels as ch
@@ -78,7 +79,16 @@ def _move(dynamics: Dynamics, agents, action):
 
 
 def _deposit_and_layout(dynamics: Dynamics, medium, agents, action):
-    """Substep 2 — core/env.py:204-215.  Alive agents only."""
+    """Substep 2 — core/env.py:204-215.  Alive agents only.
+
+    Winner-take-last duplicate semantics via a stable sort: agents sorted by
+    cell keep ascending slot order within a cell, so the last element of each
+    equal-cell run is the highest-slot (numpy "last write wins") agent.
+    Winners scatter to their cell, non-winners to distinct dummy slots past
+    the field, making every scatter index unique — the fast parallel scatter
+    path on TPU (the naive ``at[].max`` scatter lowers to a serialized loop,
+    measured ~2x slower at 65536 agents).
+    """
     W, H = medium.shape[-2], medium.shape[-1]
     n = agents.shape[-1]
     ix, iy = agent_cells(agents, (W, H))
@@ -88,16 +98,22 @@ def _deposit_and_layout(dynamics: Dynamics, medium, agents, action):
     # out-of-range sentinel for dead slots -> dropped by scatter mode='drop'
     cell_masked = jnp.where(alive, cell, hw)
 
-    # winner[cell] = highest slot index of an alive agent on that cell
-    slot = jnp.arange(n, dtype=jnp.int32)
-    winner = jnp.full((hw,), -1, jnp.int32).at[cell_masked].max(
-        slot, mode="drop", indices_are_sorted=False, unique_indices=False
-    )
     deposit = action[ch.CH_ACT_DEPOSIT]
-    dep_add = jnp.where(winner >= 0, jnp.take(deposit, jnp.clip(winner, 0)), _F0)
-    chem = medium[ch.CH_MED_CHEM].reshape(-1) + dep_add
+    sorted_cell, sorted_dep = jax.lax.sort((cell_masked, deposit), num_keys=1,
+                                           is_stable=True)
+    nxt = jnp.concatenate([sorted_cell[1:],
+                           jnp.full((1,), -1, sorted_cell.dtype)])
+    is_winner = (sorted_cell != nxt) & (sorted_cell < hw)
+    slot = jnp.arange(n, dtype=jnp.int32)
+    target = jnp.where(is_winner, sorted_cell, hw + slot)
 
-    occupancy = (winner >= 0).astype(jnp.float32)
+    dep_ext = jnp.zeros((hw + n,), jnp.float32).at[target].set(
+        sorted_dep, mode="drop", unique_indices=True)
+    occ_ext = jnp.zeros((hw + n,), jnp.float32).at[target].set(
+        jnp.ones((n,), jnp.float32), mode="drop", unique_indices=True)
+
+    chem = medium[ch.CH_MED_CHEM].reshape(-1) + dep_ext[:hw]
+    occupancy = occ_ext[:hw]
 
     medium = medium.at[ch.CH_MED_CHEM].set(chem.reshape(W, H))
     medium = medium.at[ch.CH_MED_AGENTS].set(occupancy.reshape(W, H))

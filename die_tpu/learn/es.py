@@ -1,0 +1,176 @@
+"""JAX-native evolution strategies — torch/evotorch-free twin of the
+reference's neuroevolution harness (examples/learning_agents.py:20-109).
+
+Two searchers:
+
+* :class:`PGPE` — the reference's configuration (learning_agents.py:63-77):
+  symmetric (mirrored) sampling around a center with per-parameter stdev,
+  ClipUp optimizer (normalized step, max_speed clipping, momentum 0.9),
+  stdev learning rate 0.1.  Follows Sehnke et al. PGPE with the ClipUp update
+  of Toklu et al. (2020) — the algorithm evotorch implements.
+* :class:`OpenAIES` — Salimans et al. 2017 (the reference README's roadmap
+  pointer, README.md:93): rank-shaped antithetic ES with Adam-free SGD.
+
+Everything is a pure jitted update: ``(EsState, key) -> (EsState, pop,
+fitnesses -> EsState)`` split so fitness evaluation (vmapped rollouts,
+possibly mesh-sharded over the population axis) stays outside the searcher.
+The whole generation — sample, rollout population, update — compiles into a
+single XLA program in die_tpu/learn/train.py.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+
+from die_tpu.core.rng import uniform01_from_bits
+from die_tpu.core.mathx import normal_from_uniform
+
+
+class EsState(NamedTuple):
+    center: object    # f32[D]
+    stdev: object     # f32[D]
+    velocity: object  # f32[D] — ClipUp/SGD momentum buffer
+    step: object      # i32[]
+
+
+def _normal(key, shape):
+    """Contract-conformant standard normals (bits -> uniform -> erfinv)."""
+    bits = jr.bits(key, shape, jnp.uint32)
+    return normal_from_uniform(uniform01_from_bits(bits))
+
+
+def centered_ranks(f):
+    """Salimans et al. fitness shaping: ranks mapped to [-0.5, 0.5]."""
+    n = f.shape[0]
+    idx = jnp.argsort(f)
+    ranks = jnp.zeros((n,), jnp.float32).at[idx].set(
+        jnp.arange(n, dtype=jnp.float32))
+    return ranks / jnp.float32(n - 1) - jnp.float32(0.5)
+
+
+class PGPE:
+    """PGPE + ClipUp with mirrored sampling.
+
+    popsize must be even; the population is [center+e_1, center-e_1, ...].
+    """
+
+    def __init__(self,
+                 num_params: int,
+                 popsize: int = 10,
+                 center_learning_rate: float = 0.05,
+                 stdev_learning_rate: float = 0.1,
+                 stdev_init: float = 0.1,
+                 radius_init: float | None = 1.5,
+                 max_speed: float | None = 0.1,
+                 momentum: float = 0.9,
+                 stdev_max_change: float = 0.2):
+        assert popsize % 2 == 0, "PGPE popsize must be even (mirrored pairs)"
+        self.d = int(num_params)
+        self.popsize = int(popsize)
+        self.lr_center = float(center_learning_rate)
+        self.lr_stdev = float(stdev_learning_rate)
+        # evotorch radius semantics: stdev_init = radius / sqrt(D)
+        if radius_init is not None:
+            stdev_init = float(radius_init) / float(np.sqrt(self.d))
+        self.stdev_init = float(stdev_init)
+        self.max_speed = float(max_speed) if max_speed is not None else None
+        self.momentum = float(momentum)
+        self.stdev_max_change = float(stdev_max_change)
+
+    def init(self, center0) -> EsState:
+        center0 = jnp.asarray(center0, jnp.float32)
+        return EsState(
+            center=center0,
+            stdev=jnp.full((self.d,), np.float32(self.stdev_init)),
+            velocity=jnp.zeros((self.d,), jnp.float32),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def ask(self, state: EsState, key):
+        """Sample the mirrored population: f32[popsize, D]."""
+        half = self.popsize // 2
+        eps = _normal(key, (half, self.d)) * state.stdev[None, :]
+        pop = jnp.concatenate([state.center[None, :] + eps,
+                               state.center[None, :] - eps], axis=0)
+        return pop, eps
+
+    def tell(self, state: EsState, eps, fitnesses) -> EsState:
+        """Gradient-from-fitness + ClipUp update (maximization)."""
+        half = self.popsize // 2
+        f_plus = fitnesses[:half]
+        f_minus = fitnesses[half:]
+        baseline = jnp.mean(fitnesses)
+        f_scale = jnp.maximum(jnp.max(fitnesses) - jnp.min(fitnesses),
+                              np.float32(1e-8))
+
+        # center gradient: mean of (f+ - f-)/2 * eps / stdev^2, fitness-scaled
+        d_center = ((f_plus - f_minus)[:, None] * np.float32(0.5) * eps
+                    ).mean(axis=0) / f_scale
+
+        # ClipUp: normalized step, clipped velocity
+        gnorm = jnp.sqrt(jnp.sum(d_center * d_center)) + np.float32(1e-12)
+        step_v = d_center / gnorm * np.float32(self.lr_center)
+        velocity = np.float32(self.momentum) * state.velocity + step_v
+        if self.max_speed is not None:
+            vnorm = jnp.sqrt(jnp.sum(velocity * velocity)) + np.float32(1e-12)
+            velocity = jnp.where(
+                vnorm > np.float32(self.max_speed),
+                velocity * (np.float32(self.max_speed) / vnorm),
+                velocity)
+        center = state.center + velocity
+
+        # stdev gradient: ((f+ + f-)/2 - baseline) * (eps^2 - stdev^2)/stdev
+        f_avg = (f_plus + f_minus) * np.float32(0.5)
+        adv = (f_avg - baseline) / f_scale
+        s2 = state.stdev[None, :] * state.stdev[None, :]
+        d_stdev = (adv[:, None] * (eps * eps - s2) / state.stdev[None, :]
+                   ).mean(axis=0)
+        stdev_step = np.float32(self.lr_stdev) * d_stdev
+        # bound relative change (evotorch stdev_max_change)
+        max_delta = state.stdev * np.float32(self.stdev_max_change)
+        stdev = state.stdev + jnp.clip(stdev_step, -max_delta, max_delta)
+        stdev = jnp.maximum(stdev, np.float32(1e-6))
+
+        return EsState(center=center, stdev=stdev, velocity=velocity,
+                       step=state.step + 1)
+
+
+class OpenAIES:
+    """Antithetic OpenAI-ES with centered-rank shaping (Salimans et al. 2017)."""
+
+    def __init__(self, num_params: int, popsize: int = 16,
+                 learning_rate: float = 0.02, stdev: float = 0.05,
+                 momentum: float = 0.0):
+        assert popsize % 2 == 0
+        self.d = int(num_params)
+        self.popsize = int(popsize)
+        self.lr = float(learning_rate)
+        self.sigma = float(stdev)
+        self.momentum = float(momentum)
+
+    def init(self, center0) -> EsState:
+        return EsState(center=jnp.asarray(center0, jnp.float32),
+                       stdev=jnp.full((self.d,), np.float32(self.sigma)),
+                       velocity=jnp.zeros((self.d,), jnp.float32),
+                       step=jnp.zeros((), jnp.int32))
+
+    def ask(self, state: EsState, key):
+        half = self.popsize // 2
+        eps = _normal(key, (half, self.d)) * np.float32(self.sigma)
+        pop = jnp.concatenate([state.center[None, :] + eps,
+                               state.center[None, :] - eps], axis=0)
+        return pop, eps
+
+    def tell(self, state: EsState, eps, fitnesses) -> EsState:
+        shaped = centered_ranks(fitnesses)
+        half = self.popsize // 2
+        w = shaped[:half] - shaped[half:]
+        grad = (w[:, None] * eps).mean(axis=0) / np.float32(self.sigma**2)
+        velocity = np.float32(self.momentum) * state.velocity \
+            + np.float32(self.lr) * grad
+        return EsState(center=state.center + velocity, stdev=state.stdev,
+                       velocity=velocity, step=state.step + 1)

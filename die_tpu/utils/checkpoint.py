@@ -1,0 +1,52 @@
+"""Whole-state checkpoint/resume.
+
+The reference checkpoints only agent params (core/agent/base.py:28-43,
+core/agent/evo.py:24-42) and never env state (SURVEY §5.4).  Here any pytree —
+a sharded batch of ``EnvState``s, policy states, PRNG keys, ``EsState`` — can
+be saved and restored exactly, enabling bit-identical resume of a rollout or
+training run.  Storage is a plain ``.npz`` of the pytree leaves (order-stable
+via ``tree_flatten``); structure comes from a template tree at load time, so
+no pickling is involved.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import numpy as np
+import jax
+
+
+def save_pytree(path: str | os.PathLike, tree: Any) -> None:
+    leaves, _ = jax.tree_util.tree_flatten(tree)
+    arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    os.makedirs(os.path.dirname(str(path)) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
+
+
+def load_pytree(path: str | os.PathLike, like: Any) -> Any:
+    """Restore a pytree with the structure of ``like`` (values ignored)."""
+    data = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten(like)
+    loaded = [data[f"leaf_{i}"] for i in range(len(leaves))]
+    restored = [np.asarray(l) for l in loaded]
+    return jax.tree_util.tree_unflatten(treedef, restored)
+
+
+def save_training_state(directory: str, epoch: int, es_state, cfg) -> str:
+    """ES training checkpoint: EsState arrays + config JSON."""
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, f"es_{epoch:06d}.npz")
+    save_pytree(path, es_state)
+    import dataclasses
+
+    meta = {"epoch": epoch, "config": dataclasses.asdict(cfg)}
+    with open(os.path.join(directory, f"es_{epoch:06d}.json"), "w") as f:
+        json.dump(meta, f, indent=2, default=str)
+    return path
+
+
+def load_training_state(path: str, like_es_state):
+    return load_pytree(path, like_es_state)

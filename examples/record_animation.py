@@ -1,0 +1,62 @@
+"""Record a simulation GIF — twin of examples/record_animation.py:11-22."""
+from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
+import argparse
+
+import matplotlib
+
+import jax
+import jax.random as jr
+
+from die_tpu.core import channels as ch
+from die_tpu.core.config import Dynamics
+from die_tpu.core.init import init_env_state
+from die_tpu.models.gradient import PhysarumPolicy
+from die_tpu.parallel.rollout import policy_env_step
+from die_tpu.render.plotting import InteractivePlotter, render_animation
+from die_tpu.render.renderer import EnvRenderer
+
+
+def record(filename="animation.gif", field_size=(128, 128), num_frames=100,
+           agent_ratio=0.15, seed=0, headless=True):
+    if headless:
+        matplotlib.use("Agg")
+    dyn = Dynamics(init_agent_ratio=agent_ratio)
+    n = field_size[0] * field_size[1]
+    policy = PhysarumPolicy(max_agents=n, scale=0.006, turn_angle=30,
+                            sense_offset=0.04)
+    master = jr.PRNGKey(seed)
+    holder = {
+        "state": init_env_state(jr.fold_in(master, ch.TAG_SESSION_ENV_INIT),
+                                field_size, dyn, n),
+        "pstate": policy.init_state(
+            jr.fold_in(master, ch.TAG_SESSION_POLICY_INIT)),
+    }
+    roll_key = jr.fold_in(master, ch.TAG_SESSION_ROLLOUT)
+    step = jax.jit(lambda s, p, k: policy_env_step(dyn, policy, None, s, p, k))
+
+    def frame_step(i):
+        kt = jr.fold_in(roll_key, i)
+        s, p, _ = step(holder["state"], holder["pstate"], kt)
+        holder["state"], holder["pstate"] = s, p
+
+    renderer = EnvRenderer(field_size)
+    plotter = InteractivePlotter.get(
+        lambda: renderer.render(holder["state"].medium,
+                                holder["state"].agents),
+        ion=not headless)
+    render_animation(frame_step, plotter, filename, num_frames=num_frames)
+    print(f"wrote {filename}")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="animation.gif")
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--frames", type=int, default=100)
+    args = ap.parse_args()
+    record(args.out, (args.size, args.size), args.frames)
