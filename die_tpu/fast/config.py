@@ -1,0 +1,78 @@
+"""Configuration for the field-centric (lattice) engine.
+
+Why this engine exists: the reference-semantics engine keeps a flat agent
+array with continuous coordinates, which forces per-agent random gather /
+scatter every step.  On TPU, XLA lowers those to serialized loops
+(~15-25 ns/element measured on v5e regardless of formulation — scatter-max,
+sorted scatter, one-hot MXU, take_along_axis), capping the exact engine at
+a few hundred lockstep steps/s.  The TPU-first redesign moves agent state
+onto the grid: headings discretized to 8 lattice directions, sensing via
+rolled-field selection, movement via pull-based neighbor stencils with
+deterministic conflict resolution.  Every operation is a roll / elementwise
+op — the shapes XLA and the VPU are built for.
+
+This is the production engine for the BASELINE throughput target; it is a
+*lattice variant* of the reference's Physarum dynamics (same capabilities:
+offset sensing, discrete turns, deposit trails, feeding, lifecycle, food
+flow, diffusion) with its own seeded oracle and bit-exact lockstep contract.
+The exact reference-semantics engine (die_tpu/core) remains the parity
+reference.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+
+from die_tpu.core.config import FlowConfig
+
+
+@dataclass(frozen=True)
+class FastDynamics:
+    # sensing: probe chem at sense_dist cells along heading and heading +-1
+    sense_dist: int = 3
+    # movement
+    randomize_on_block: bool = True
+    # deposit: chem += deposit_coef * env_food * (1 if moved else idle_deposit)
+    deposit_coef: float = 4.0
+    idle_deposit: float = 0.1
+    # feeding — same meaning as the exact engine (core/env.py:220-243)
+    rate_feed: float = 0.1
+    cost_move: float = 0.01
+    cost_deposit: float = 0.02
+    food_infinite: bool = False
+    # lifecycle
+    agents_die: bool = False
+    death_threshold: float = 1e-4
+    # chem field
+    rate_decay_chem: float = 0.1
+    diffuse_sigma: float = 0.5
+    # init
+    init_agent_ratio: float = 0.15
+    init_food_octaves: int = 8
+    init_food_threshold: float = 1.0
+    flow: FlowConfig = dataclasses.field(default_factory=FlowConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> "FastDynamics":
+        d = json.loads(text)
+        flow = FlowConfig(**d.pop("flow", {}))
+        return cls(flow=flow, **d)
+
+
+# 8 lattice directions, counter-clockwise starting East, as (dx, dy) in
+# (row, col) = (x, y) array axes.  d+1 is a 45-degree left turn.
+DIR_OFFSETS = (
+    (0, 1),    # 0: E
+    (-1, 1),   # 1: NE
+    (-1, 0),   # 2: N
+    (-1, -1),  # 3: NW
+    (0, -1),   # 4: W
+    (1, -1),   # 5: SW
+    (1, 0),    # 6: S
+    (1, 1),    # 7: SE
+)
+NUM_DIRS = 8

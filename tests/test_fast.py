@@ -1,0 +1,106 @@
+"""Fast (lattice) engine: oracle parity, conservation laws, and behavior."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import pytest
+
+from die_tpu.core.rng import np_key
+from die_tpu.fast.config import FastDynamics
+from die_tpu.fast.init import fast_init_jax, fast_init_np
+from die_tpu.fast.rollout import fast_rollout, oracle_fast_rollout
+
+SIZE = (32, 32)
+
+
+def test_init_parity():
+    dyn = FastDynamics()
+    a = fast_init_np(np_key(3), SIZE, dyn)
+    b = fast_init_jax(jr.PRNGKey(3), SIZE, dyn)
+    for x, y in zip(a[:-1], b[:-1]):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+    assert float(np.asarray(a.occ).sum()) > 0
+
+
+@pytest.mark.parametrize("dyn", [
+    FastDynamics(),
+    FastDynamics(agents_die=True, food_infinite=False),
+    FastDynamics(randomize_on_block=False, sense_dist=5),
+])
+def test_rollout_parity_bitwise(dyn):
+    steps = 15
+    st_np = fast_init_np(np_key(7), SIZE, dyn)
+    st_j = fast_init_jax(jr.PRNGKey(7), SIZE, dyn)
+    o_state, o_rewards, o_nums = oracle_fast_rollout(
+        dyn, st_np, np_key(11), steps)
+    run = jax.jit(lambda s: fast_rollout(dyn, s, jr.PRNGKey(11), steps))
+    j_state, j_rewards, j_nums = run(st_j)
+    assert np.array_equal(o_rewards, np.asarray(j_rewards))
+    assert np.array_equal(o_nums, np.asarray(j_nums))
+    for x, y in zip(o_state[:-1], j_state[:-1]):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_agent_count_conserved_without_death():
+    dyn = FastDynamics(agents_die=False)
+    st = fast_init_np(np_key(5), SIZE, dyn)
+    n0 = int((st.occ > 0).sum())
+    _, _, nums = oracle_fast_rollout(dyn, st, np_key(6), 20)
+    assert np.all(nums == n0)
+
+
+def test_occupancy_stays_binary_and_dirs_valid():
+    dyn = FastDynamics()
+    st = fast_init_np(np_key(9), SIZE, dyn)
+    st2, _, _ = oracle_fast_rollout(dyn, st, np_key(10), 20)
+    assert set(np.unique(st2.occ)) <= {0.0, 1.0}
+    dirs = st2.dir[st2.occ > 0]
+    assert dirs.min() >= 0 and dirs.max() <= 7
+    assert np.all(dirs == np.floor(dirs))
+
+
+def test_agents_actually_move_and_deposit():
+    dyn = FastDynamics()
+    st = fast_init_np(np_key(12), SIZE, dyn)
+    st2, _, _ = oracle_fast_rollout(dyn, st, np_key(13), 10)
+    # occupancy pattern changed and chem trail appeared
+    assert not np.array_equal(st.occ, st2.occ)
+    assert st2.chem.max() > 0
+
+
+def test_trail_following_beats_blind():
+    """Physarum-ness: with sensing (chem gradient following) agents cluster
+    onto trails — chem concentration should be less uniform than with a
+    zero-deposit control."""
+    dyn = FastDynamics(deposit_coef=4.0, food_infinite=True)
+    dyn0 = FastDynamics(deposit_coef=0.0, idle_deposit=0.0,
+                        food_infinite=True)
+    st = fast_init_np(np_key(20), (24, 24), dyn)
+    st_a, _, _ = oracle_fast_rollout(dyn, st, np_key(21), 40)
+    st_b, _, _ = oracle_fast_rollout(dyn0, st, np_key(21), 40)
+    assert st_a.chem.max() > st_b.chem.max()
+
+
+def test_death_reduces_population():
+    dyn = FastDynamics(agents_die=True, rate_feed=0.0, cost_move=0.5,
+                       deposit_coef=0.0, idle_deposit=0.0)
+    st = fast_init_np(np_key(30), SIZE, dyn)
+    n0 = int((st.occ > 0).sum())
+    _, _, nums = oracle_fast_rollout(dyn, st, np_key(31), 20)
+    assert nums[-1] < n0
+
+
+def test_vmap_lockstep_fast():
+    dyn = FastDynamics()
+    B, steps = 4, 8
+    states = [fast_init_jax(jr.PRNGKey(100 + b), SIZE, dyn) for b in range(B)]
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    keys = jnp.stack([jr.PRNGKey(200 + b) for b in range(B)])
+    run_b = jax.jit(jax.vmap(lambda s, k: fast_rollout(dyn, s, k, steps)))
+    st_b, rew_b, num_b = run_b(batched, keys)
+    run_1 = jax.jit(lambda s, k: fast_rollout(dyn, s, k, steps))
+    for b in range(B):
+        sb = jax.tree.map(lambda x: x[b], batched)
+        st1, rew1, num1 = run_1(sb, keys[b])
+        assert np.array_equal(np.asarray(rew_b[b]), np.asarray(rew1)), b
+        assert np.array_equal(np.asarray(st_b.occ[b]), np.asarray(st1.occ)), b
