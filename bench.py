@@ -5,9 +5,12 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 vs_baseline is value / 1e6 (the BASELINE.md target: >=1M env-steps/s/chip).
 
 Config via env vars:
+  BENCH_ENGINE (default fast)  'fast' = field-centric lattice engine (the
+                               production path); 'exact' = reference-
+                               semantics flat-agent engine
   BENCH_ENVS   (default 1024)  number of lockstep envs
   BENCH_FIELD  (default 256)   square field size
-  BENCH_AGENTS (default 65536) agent slots per env
+  BENCH_AGENTS (default 65536) agent slots per env (exact engine)
   BENCH_STEPS  (default 32)    steps per timed scan
   BENCH_REPS   (default 3)     timed repetitions (best taken)
 Runs on whatever backend jax selects (the real TPU chip under axon).
@@ -20,7 +23,77 @@ import time
 import numpy as np
 
 
+def bench_fast():
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    from die_tpu.fast.config import FastDynamics
+    from die_tpu.fast.init import fast_init_jax
+    from die_tpu.fast.pallas_step import pallas_fast_rollout_multi
+    from die_tpu.fast.rollout import fast_rollout
+
+    B = int(os.environ.get("BENCH_ENVS", 1024))
+    F = int(os.environ.get("BENCH_FIELD", 256))
+    T = int(os.environ.get("BENCH_STEPS", 32))
+    REPS = int(os.environ.get("BENCH_REPS", 3))
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") != "0"
+
+    dyn = FastDynamics()
+    # pallas path: pow2 field >= (8,128), flow none
+    pallas_ok = (use_pallas and dyn.flow.kind == "none"
+                 and F >= 128 and (F & (F - 1)) == 0)
+
+    def make(b):
+        keys = jax.vmap(lambda i: jr.fold_in(jr.PRNGKey(0), i))(jnp.arange(b))
+        states = jax.jit(jax.vmap(
+            lambda k: fast_init_jax(k, (F, F), dyn)))(keys)
+        rkeys = jax.vmap(lambda i: jr.fold_in(jr.PRNGKey(1), i))(jnp.arange(b))
+        return states, rkeys
+
+    @jax.jit
+    def run(states, rkeys):
+        if pallas_ok:
+            roll = lambda s, k: pallas_fast_rollout_multi(  # noqa: E731
+                dyn, s, k, T, num_inner=T)
+        else:
+            roll = lambda s, k: fast_rollout(dyn, s, k, T)  # noqa: E731
+        _, rew, _ = jax.vmap(roll)(states, rkeys)
+        return jnp.sum(rew)
+
+    b = B
+    while True:
+        try:
+            states, rkeys = make(b)
+            float(np.asarray(run(states, rkeys)))
+            best = float("inf")
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                float(np.asarray(run(states, rkeys)))
+                best = min(best, time.perf_counter() - t0)
+            break
+        except Exception as e:
+            if b > 64 and ("RESOURCE_EXHAUSTED" in str(e)
+                           or "memory" in str(e).lower()):
+                print(f"bench: {b} envs OOM, retrying {b//2}", file=sys.stderr)
+                b //= 2
+                continue
+            raise
+
+    v = b * T / best
+    print(json.dumps({
+        "metric": f"env-steps/s/chip, {F}x{F} lattice Physarum, {b} lockstep"
+                  f" envs (fast engine)",
+        "value": round(v, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(v / 1_000_000, 4),
+    }))
+
+
 def main():
+    if os.environ.get("BENCH_ENGINE", "fast") == "fast":
+        bench_fast()
+        return
     import jax
     import jax.numpy as jnp
     import jax.random as jr

@@ -126,6 +126,35 @@ def np_split(key: np.ndarray, num: int = 2) -> np.ndarray:
     return np.stack([b0, b1], axis=1)
 
 
+_MUR_C1 = np.uint32(0x85EBCA6B)
+_MUR_C2 = np.uint32(0xC2B2AE35)
+
+
+def murmur_finalize(h):
+    """murmur3 fmix32 avalanche — backend-generic u32 ops.
+
+    Used by the fast engine's cheap per-cell RNG: ~10 vector ops versus
+    ~100 for the threefry cipher, with avalanche quality ample for per-cell
+    tie-break decisions.  Part of the bit-contract (oracle shares it).
+    """
+    h = h ^ (h >> np.uint32(16))
+    h = h * _MUR_C1
+    h = h ^ (h >> np.uint32(13))
+    h = h * _MUR_C2
+    h = h ^ (h >> np.uint32(16))
+    return h
+
+
+def np_murmur_bits(key: np.ndarray, shape) -> np.ndarray:
+    """Counter-mode murmur hash bits: finalize(finalize(counter ^ k0) ^ k1)."""
+    size = int(np.prod(shape, dtype=np.int64)) if shape else 1
+    counts = np.arange(size, dtype=np.uint32).reshape(shape)
+    with np.errstate(over="ignore"):
+        h = murmur_finalize(counts ^ np.uint32(key[0]))
+        h = murmur_finalize(h ^ np.uint32(key[1]))
+    return h
+
+
 def uniform01_from_bits(bits):
     """uint32 bits -> fp32 uniform in (0, 1).  Arithmetic-only; backend-generic.
 

@@ -47,6 +47,10 @@ class FastDynamics:
     # chem field
     rate_decay_chem: float = 0.1
     diffuse_sigma: float = 0.5
+    # RNG: 'murmur' (murmur3-finalizer counter hash, ~10 vector ops) or
+    # 'threefry' (the jax.random cipher, ~100 ops); both are part of the
+    # bit-contract with the oracle
+    rng_kind: str = "murmur"
     # init
     init_agent_ratio: float = 0.15
     init_food_octaves: int = 8

@@ -7,22 +7,17 @@ from __future__ import annotations
 
 import numpy as np
 
-from die_tpu.core.rng import np_fold_in, np_random_bits
+from die_tpu.core.rng import np_fold_in, np_murmur_bits, np_random_bits
 from die_tpu.fast.config import FastDynamics
 from die_tpu.fast.env import FastEnvState, FastStepBits, fast_step
 
-TAG_TURN = 0
-TAG_PRIO = 1
-TAG_BLOCK = 2
 
-
-def np_step_bits(rollout_key: np.ndarray, t: int, shape) -> FastStepBits:
+def np_step_bits(dyn: FastDynamics, rollout_key: np.ndarray, t: int,
+                 shape) -> FastStepBits:
     k_t = np_fold_in(rollout_key, t)
-    return FastStepBits(
-        turn=np_random_bits(np_fold_in(k_t, TAG_TURN), shape),
-        prio=np_random_bits(np_fold_in(k_t, TAG_PRIO), shape),
-        block=np_random_bits(np_fold_in(k_t, TAG_BLOCK), shape),
-    )
+    if dyn.rng_kind == "murmur":
+        return FastStepBits(rand=np_murmur_bits(k_t, shape))
+    return FastStepBits(rand=np_random_bits(k_t, shape))
 
 
 def oracle_fast_rollout(dyn: FastDynamics, state: FastEnvState,
@@ -32,23 +27,35 @@ def oracle_fast_rollout(dyn: FastDynamics, state: FastEnvState,
     rewards = np.zeros(num_steps, np.float32)
     nums = np.zeros(num_steps, np.int32)
     for i in range(num_steps):
-        bits = np_step_bits(rollout_key, t0 + i, shape)
+        bits = np_step_bits(dyn, rollout_key, t0 + i, shape)
         state, reward, num = fast_step(dyn, state, bits)
         rewards[i] = reward
         nums[i] = num
     return state, rewards, nums
 
 
-def jax_step_bits(rollout_key, t, shape) -> FastStepBits:
+def jax_murmur_bits(key, shape):
+    import jax
+    import jax.numpy as jnp
+
+    from die_tpu.core.rng import murmur_finalize
+
+    H = shape[1]
+    row = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    counts = row * np.uint32(H) + col
+    h = murmur_finalize(counts ^ key[0])
+    return murmur_finalize(h ^ key[1])
+
+
+def jax_step_bits(dyn: FastDynamics, rollout_key, t, shape) -> FastStepBits:
     import jax.numpy as jnp
     import jax.random as jr
 
     k_t = jr.fold_in(rollout_key, t)
-    return FastStepBits(
-        turn=jr.bits(jr.fold_in(k_t, TAG_TURN), shape, jnp.uint32),
-        prio=jr.bits(jr.fold_in(k_t, TAG_PRIO), shape, jnp.uint32),
-        block=jr.bits(jr.fold_in(k_t, TAG_BLOCK), shape, jnp.uint32),
-    )
+    if dyn.rng_kind == "murmur":
+        return FastStepBits(rand=jax_murmur_bits(k_t, shape))
+    return FastStepBits(rand=jr.bits(k_t, shape, jnp.uint32))
 
 
 def fast_rollout(dyn: FastDynamics, state: FastEnvState, rollout_key,
@@ -61,10 +68,10 @@ def fast_rollout(dyn: FastDynamics, state: FastEnvState, rollout_key,
 
     def body(carry, t):
         st = carry
-        bits = jax_step_bits(rollout_key, t, shape)
+        bits = jax_step_bits(dyn, rollout_key, t, shape)
         st, reward, num = fast_step(dyn, st, bits)
         return st, (reward, num)
 
     state, (rewards, nums) = jax.lax.scan(
-        body, state, jnp.arange(t0, t0 + num_steps))
+        body, state, jnp.arange(num_steps) + t0)
     return state, rewards, nums

@@ -42,7 +42,8 @@ def _axis_pass_wrap(field, taps, axis: int):
     acc = None
     for k, w in enumerate(taps):
         offset = k - radius  # tap at f[i + offset]
-        shifted = xp.roll(field, -offset, axis=axis)
+        # zero-shift roll lowers to a 0-sized slice in Mosaic — skip it
+        shifted = xp.roll(field, -offset, axis=axis) if offset else field
         term = w * shifted
         acc = term if acc is None else acc + term
     return acc

@@ -54,7 +54,7 @@ def rollout(dynamics: Dynamics, policy, params, state, pstate, key,
         return (state, pstate), (info.reward, info.num_agents)
 
     (state, pstate), (rewards, num_agents) = jax.lax.scan(
-        body, (state, pstate), jnp.arange(t0, t0 + num_steps))
+        body, (state, pstate), jnp.arange(num_steps) + t0)
     return RolloutResult(state=state, pstate=pstate, rewards=rewards,
                          num_agents=num_agents,
                          total_reward=jnp.sum(rewards))

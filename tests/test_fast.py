@@ -104,3 +104,42 @@ def test_vmap_lockstep_fast():
         st1, rew1, num1 = run_1(sb, keys[b])
         assert np.array_equal(np.asarray(rew_b[b]), np.asarray(rew1)), b
         assert np.array_equal(np.asarray(st_b.occ[b]), np.asarray(st1.occ)), b
+
+
+def test_render_adapter_shapes():
+    from die_tpu.fast.render_adapter import (
+        fast_state_to_agents,
+        fast_state_to_medium,
+    )
+    from die_tpu.render.renderer import EnvRenderer
+
+    dyn = FastDynamics()
+    st = fast_init_np(np_key(40), SIZE, dyn)
+    medium = fast_state_to_medium(st)
+    agents = fast_state_to_agents(st)
+    assert medium.shape == (3, *SIZE)
+    assert agents.shape == (4, SIZE[0] * SIZE[1])
+    frames = EnvRenderer(SIZE).render(medium, agents)
+    assert len(frames) == 3
+    # alive count preserved through the adapter
+    assert agents[2].sum() == st.occ.sum()
+
+
+def test_fast_sharded_equals_unsharded():
+    from die_tpu.parallel.mesh import env_mesh, shard_env_batch
+
+    dyn = FastDynamics()
+    B, steps = 8, 6
+    states = [fast_init_jax(jr.PRNGKey(300 + b), SIZE, dyn)
+              for b in range(B)]
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    keys = jnp.stack([jr.PRNGKey(400 + b) for b in range(B)])
+    run = jax.jit(jax.vmap(lambda s, k: fast_rollout(dyn, s, k, steps)))
+    ref_st, ref_rew, _ = run(batched, keys)
+
+    mesh = env_mesh()
+    batched_s = shard_env_batch(mesh, batched)
+    keys_s = shard_env_batch(mesh, keys)
+    st_s, rew_s, _ = run(batched_s, keys_s)
+    assert np.array_equal(np.asarray(ref_rew), np.asarray(rew_s))
+    assert np.array_equal(np.asarray(ref_st.occ), np.asarray(st_s.occ))

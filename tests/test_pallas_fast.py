@@ -1,0 +1,38 @@
+"""Pallas mega-kernel parity (interpret mode on CPU) and guards."""
+import numpy as np
+import jax
+import jax.random as jr
+import pytest
+
+from die_tpu.fast.config import FastDynamics
+from die_tpu.fast.init import fast_init_jax
+from die_tpu.fast.pallas_step import make_pallas_step, pallas_fast_rollout
+from die_tpu.fast.rollout import fast_rollout
+
+SIZE = (8, 128)
+
+
+def test_pallas_rollout_matches_xla_bitwise():
+    dyn = FastDynamics()
+    st = fast_init_jax(jr.PRNGKey(3), SIZE, dyn)
+    ref_state, ref_rew, ref_num = jax.jit(
+        lambda s: fast_rollout(dyn, s, jr.PRNGKey(5), 5))(st)
+    pal_state, pal_rew, pal_num = jax.jit(
+        lambda s: pallas_fast_rollout(dyn, s, jr.PRNGKey(5), 5,
+                                      interpret=True))(st)
+    assert np.array_equal(np.asarray(ref_rew), np.asarray(pal_rew))
+    assert np.array_equal(np.asarray(ref_num), np.asarray(pal_num))
+    for name, a, b in zip(ref_state._fields, ref_state, pal_state):
+        if name == "flow_step":
+            continue
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
+
+
+def test_pallas_guards():
+    from die_tpu.core.config import FlowConfig
+
+    with pytest.raises(NotImplementedError):
+        make_pallas_step(FastDynamics(flow=FlowConfig(kind="wave")),
+                         (8, 128))
+    with pytest.raises(ValueError):
+        make_pallas_step(FastDynamics(), (24, 24))
