@@ -90,6 +90,14 @@ def bench_fast():
     }))
 
 
+
+try:
+    from die_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+except Exception:
+    pass
+
 def main():
     if os.environ.get("BENCH_ENGINE", "fast") == "fast":
         bench_fast()

@@ -35,6 +35,17 @@ def register(cls):
     return cls
 
 
+def postprocess_action(agents, action):
+    """Alive-mask an action array — twin of ``Agent.postprocess_action``
+    (core/agent/base.py:45-62).  Like the reference, policies do NOT apply
+    this by default (callers return raw actions); it is provided for users
+    who want explicit masking."""
+    from die_tpu.core import channels as ch
+
+    alive = (agents[ch.CH_AGT_ALIVE] > 0).astype(action.dtype)
+    return action * alive[None, :]
+
+
 class Policy:
     """Base policy.  Subclasses define ``init_state`` and ``forward``."""
 

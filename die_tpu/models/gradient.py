@@ -121,6 +121,18 @@ class GradientPolicy(Policy):
         """deposit * sensed_food (core/agent/gradient.py:93-94)."""
         return np.float32(self._deposit) * sensed_food
 
+    def render(self, obs):
+        """Gradient-field RGB debug view — twin of GradientAgent.render
+        (core/agent/gradient.py:126-135).  Stateless: recomputed from obs."""
+        import numpy as np_
+
+        from die_tpu.render.renderer import GradientFieldRenderer
+
+        _agents, medium = obs
+        gx, gy = self._gradient_field(medium[ch.CH_MED_CHEM])
+        return [GradientFieldRenderer.render(np_.asarray(gx),
+                                             np_.asarray(gy))]
+
     def forward(self, params, pstate: GradientState, obs, key):
         agents, medium = obs
         W, H = medium.shape[-2], medium.shape[-1]

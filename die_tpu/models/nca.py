@@ -107,6 +107,19 @@ class NCAPolicy(Policy):
                 for c in range(ch.NUM_ACTION_CHANNELS)]
         return jnp.stack(rows), pstate
 
+    def render(self, params, obs):
+        """Sense-output RGB view — twin of NeuralAutomataAgent.render
+        (core/agent/evo.py:176-181).  Stateless: recomputed from obs."""
+        import numpy as np_
+
+        _agents, medium = obs
+        field = medium[jnp.asarray(self.obs_channel_idx, jnp.int32)]
+        for kernel in params:
+            field = circular_conv(field, kernel)
+        field = tanh(field)
+        rgb = np_.moveaxis(np_.asarray(field), 0, -1)
+        return [np_.clip(0.5 * (rgb + 1.0), 0.0, 1.0)]
+
     # ------------------------------------------------------- persistence
     def save(self, file, params=None):
         """npz bundle: constructor JSON + kernel arrays

@@ -72,6 +72,9 @@ def oracle_init_state(key: np.ndarray, field_size, dynamics: Dynamics,
 
     # flat agent extraction, row-major cell order (core/data_init.py:133-150)
     ixs, iys = np.nonzero(occupancy > _F0)
+    # more occupied cells than slots: keep the first max_agents in row-major
+    # order (the jnp.nonzero(size=...) truncation semantics)
+    ixs, iys = ixs[:max_agents], iys[:max_agents]
     count = ixs.shape[0]
     agents = np.zeros((4, max_agents), np.float32)
     agents[ch.CH_AGT_X, :count] = ixs.astype(np.float32) * np.float32(1.0 / (W - 1))

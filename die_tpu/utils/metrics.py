@@ -83,3 +83,36 @@ class MultiSink:
 def setup_logging(level=logging.INFO):
     """Twin of core/utils.py:196-203."""
     logging.basicConfig(level=level)
+
+
+class ChannelLogger:
+    """Debug tracker printing data + delta snapshots of an array slice —
+    twin of core/utils.py:78-110."""
+
+    def __init__(self, init_array, channels, num: int = -1, logger=print):
+        import numpy as np
+
+        self._np = np
+        self.num = num
+        self.chs = list(channels)
+        self.data = 0.0
+        self.delta = 0.0
+        self._logger = logger
+        self.update(init_array)
+
+    def update(self, array):
+        np = self._np
+        new = np.asarray(array)[self.chs, : self.num if self.num > 0 else None]
+        self.delta = new - self.data
+        self.data = new
+
+    def log_update(self, array, prec: int = 3):
+        np = self._np
+        self.update(array)
+        with np.printoptions(threshold=50):
+            self._logger(f"delta: {np.round(self.delta, prec)}")
+            self._logger(f"data : {np.round(self.data, prec)}")
+
+    def log_nonzero(self, field):
+        np = self._np
+        self._logger(f"num_nonzero={np.count_nonzero(np.asarray(field))}")

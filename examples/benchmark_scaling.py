@@ -1,0 +1,91 @@
+"""Scaling-efficiency harness — the measurement tool behind BASELINE.md's
+>=85% chip->host->multi-host target.
+
+Two measurements:
+  * batch scaling on the current backend: env-steps/s at B and 2B (a chip
+    with headroom should scale ~linearly until compute-bound);
+  * mesh scaling: env-steps/s on 1 device vs all devices of the mesh with
+    env-sharded batches (on CPU set XLA_FLAGS=--xla_force_host_platform_device_count=8
+    JAX_PLATFORMS=cpu to simulate; on a pod run one process per host after
+    die_tpu.parallel.distributed.initialize()).
+"""
+from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+
+from die_tpu.fast.config import FastDynamics
+from die_tpu.fast.init import fast_init_jax
+from die_tpu.fast.rollout import fast_rollout
+from die_tpu.parallel.mesh import env_mesh, shard_env_batch
+
+
+def measure(dyn, field, B, T, mesh=None, reps=3):
+    keys = jax.vmap(lambda i: jr.fold_in(jr.PRNGKey(0), i))(jnp.arange(B))
+    states = jax.jit(jax.vmap(
+        lambda k: fast_init_jax(k, (field, field), dyn)))(keys)
+    rkeys = jax.vmap(lambda i: jr.fold_in(jr.PRNGKey(1), i))(jnp.arange(B))
+    if mesh is not None:
+        states = shard_env_batch(mesh, states)
+        rkeys = shard_env_batch(mesh, rkeys)
+
+    @jax.jit
+    def run(states, rkeys):
+        _, rew, _ = jax.vmap(lambda s, k: fast_rollout(dyn, s, k, T))(
+            states, rkeys)
+        return jnp.sum(rew)
+
+    float(np.asarray(run(states, rkeys)))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(np.asarray(run(states, rkeys)))
+        best = min(best, time.perf_counter() - t0)
+    return B * T / best
+
+
+
+try:
+    from die_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+except Exception:
+    pass
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--field", type=int, default=128)
+    ap.add_argument("--envs", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=16)
+    args = ap.parse_args()
+
+    dyn = FastDynamics()
+    n_dev = len(jax.devices())
+    print(f"devices: {n_dev} x {jax.devices()[0].device_kind}")
+
+    r1 = measure(dyn, args.field, args.envs, args.steps)
+    r2 = measure(dyn, args.field, args.envs * 2, args.steps)
+    print(f"batch scaling  B={args.envs}: {r1:,.0f} env-steps/s"
+          f"   2B: {r2:,.0f}  (efficiency {r2 / (2 * r1) * 100:.1f}%)")
+
+    if n_dev > 1:
+        mesh = env_mesh()
+        b = args.envs * n_dev
+        rd1 = measure(dyn, args.field, args.envs, args.steps,
+                      mesh=env_mesh(1))
+        rdn = measure(dyn, args.field, b, args.steps, mesh=mesh)
+        eff = rdn / (n_dev * rd1) * 100
+        print(f"mesh scaling   1 dev: {rd1:,.0f}   {n_dev} dev ({b} envs): "
+              f"{rdn:,.0f}  (efficiency {eff:.1f}%)")
+
+
+if __name__ == "__main__":
+    main()

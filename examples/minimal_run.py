@@ -111,6 +111,14 @@ def run_minimal_fast(agent_ratio=0.15, field_size=(256, 256), iters=1000,
     return holder["state"], total_reward
 
 
+
+try:
+    from die_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+except Exception:
+    pass
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--agent", default="physarum",

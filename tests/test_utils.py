@@ -1,0 +1,86 @@
+"""utils: metrics sinks, ChannelLogger, profiling timer, postprocess_action,
+distributed helpers (single-process), render hooks."""
+import json
+
+import numpy as np
+import jax.random as jr
+
+from die_tpu.core import channels as ch
+from die_tpu.core.config import Dynamics
+from die_tpu.core.init import init_env_state
+from die_tpu.core.rng import np_key
+from die_tpu.oracle.env import oracle_init_state
+
+
+def test_jsonl_sink(tmp_path):
+    from die_tpu.utils.metrics import JsonlSink
+
+    p = tmp_path / "m.jsonl"
+    s = JsonlSink(str(p))
+    s(0, {"a": 1.0})
+    s(1, {"a": 2.0})
+    s.close()
+    lines = [json.loads(line) for line in open(p)]
+    assert len(lines) == 2 and lines[1]["a"] == 2.0
+
+
+def test_channel_logger():
+    from die_tpu.utils.metrics import ChannelLogger
+
+    outs = []
+    arr = np.arange(12, dtype=np.float32).reshape(4, 3)
+    cl = ChannelLogger(arr, channels=[0, 1], num=2, logger=outs.append)
+    arr2 = arr + 1
+    cl.log_update(arr2)
+    assert any("delta" in o for o in outs)
+    assert np.allclose(cl.delta, 1.0)
+
+
+def test_step_timer():
+    from die_tpu.utils.profiling import StepTimer
+
+    t = StepTimer()
+    t.update(100)
+    t.update(100)
+    assert t.total_steps == 200
+    assert t.rate > 0
+
+
+def test_postprocess_action():
+    from die_tpu.models.base import postprocess_action
+
+    st = oracle_init_state(np_key(3), (8, 8), Dynamics(init_agent_ratio=0.3),
+                           16)
+    action = np.ones((3, 16), np.float32)
+    masked = postprocess_action(st.agents, action)
+    dead = st.agents[ch.CH_AGT_ALIVE] == 0
+    assert np.all(masked[:, dead] == 0)
+    assert np.all(masked[:, ~dead] == 1)
+
+
+def test_distributed_single_process():
+    from die_tpu.parallel.distributed import (
+        global_env_mesh,
+        host_local_batch_slice,
+        process_info,
+    )
+
+    info = process_info()
+    assert info["process_count"] == 1
+    assert global_env_mesh().devices.size == 8
+    assert host_local_batch_slice(16) == slice(0, 16)
+
+
+def test_policy_render_hooks():
+    from die_tpu.models.gradient import PhysarumPolicy
+    from die_tpu.models.nca import NCAPolicy
+
+    st = init_env_state(jr.PRNGKey(2), (8, 8), Dynamics(), 16)
+    obs = (st.agents, st.medium)
+    p = PhysarumPolicy(max_agents=16)
+    imgs = p.render(obs)
+    assert imgs[0].shape == (8, 8, 3)
+    n = NCAPolicy(kernel_sizes=(3,))
+    params = n.init_model_params(jr.PRNGKey(1))
+    imgs = n.render(params, obs)
+    assert imgs[0].shape == (8, 8, 3)
