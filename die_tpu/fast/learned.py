@@ -1,0 +1,197 @@
+"""Learnable lattice policy: a parameterized turn rule for the fast engine.
+
+The capability twin of the reference's learned agent (NeuralAutomataAgent —
+a conv perception model trained by neuroevolution): here the fixed Jones
+turn rule (argmax of three chem probes) is replaced by a linear policy over
+local observations, trained by the JAX-native ES stack at fast-engine
+throughput (~10^5 env-steps/s/chip vs ~10^2 for the flat-agent NCA path).
+
+Per-cell features (all already materialized by the step):
+    [probe_left, probe_fwd, probe_right, env_food, agent_food, chem]
+Params: W f32[3, 6] + b f32[3] -> logits for {turn left, keep, turn right};
+deterministic argmax with pinned tie-breaking (keep > left > right).
+
+``fast_step`` accepts the rule through its ``turn_rule`` hook, so the
+learned path shares every other substep (movement, deposit, feeding,
+lifecycle, diffusion) with the classic engine — and the NumPy oracle runs
+the identical code for bitwise verification.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from die_tpu.core.mathx import xp_of
+from die_tpu.fast.config import FastDynamics
+from die_tpu.fast.env import FastEnvState, fast_step
+
+_F0 = np.float32(0.0)
+_F1 = np.float32(1.0)
+
+NUM_FEATURES = 6
+NUM_ACTIONS = 3  # left, keep, right
+
+
+def init_turn_params(key):
+    """Small-random init of (W, b) from the contract RNG."""
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    from die_tpu.core.rng import uniform01_from_bits
+
+    bits = jr.bits(key, (NUM_ACTIONS, NUM_FEATURES + 1), jnp.uint32)
+    u = uniform01_from_bits(bits)
+    p = (np.float32(2.0) * u - _F1) * np.float32(0.1)
+    # bias toward 'keep' so untrained agents still move coherently
+    # (arithmetic one-hot: a scalar scatter_add segfaults XLA:CPU under the
+    # verification flags that disable the algebraic simplifier)
+    import jax
+
+    row = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+    bump = ((row == 1) & (col == NUM_FEATURES)).astype(jnp.float32) \
+        * np.float32(0.5)
+    return p + bump  # f32[3, 7]: columns 0..5 weights, column 6 bias
+
+
+def np_init_turn_params(key: np.ndarray) -> np.ndarray:
+    from die_tpu.core.rng import np_random_bits, uniform01_from_bits
+
+    u = uniform01_from_bits(
+        np_random_bits(key, (NUM_ACTIONS, NUM_FEATURES + 1)))
+    p = (np.float32(2.0) * u - _F1) * np.float32(0.1)
+    p[1, NUM_FEATURES] += np.float32(0.5)
+    return p
+
+
+def make_turn_rule(params):
+    """turn_rule(xp, left, fwd, right, state) -> turn in {-1, 0, +1} f32."""
+
+    def rule(xp, left, fwd, right, state: FastEnvState, bits):
+        feats = (left, fwd, right, state.env_food, state.agent_food,
+                 state.chem)
+        logits = []
+        for a in range(NUM_ACTIONS):
+            acc = params[a, NUM_FEATURES] * _F1  # bias
+            for f in range(NUM_FEATURES):
+                acc = acc + params[a, f] * feats[f]
+            logits.append(acc)
+        l_left, l_keep, l_right = logits
+        # pinned tie-breaking: keep >= left >= right
+        m = xp.maximum(l_keep, l_left)
+        turn = xp.where(l_right > m, -_F1,
+                        xp.where(l_left > l_keep, _F1, _F0))
+        return turn
+
+    return rule
+
+
+def learned_fast_step(dyn: FastDynamics, params, state: FastEnvState, bits):
+    return fast_step(dyn, state, bits, turn_rule=make_turn_rule(params))
+
+
+def learned_fast_rollout(dyn: FastDynamics, params, state: FastEnvState,
+                         rollout_key, num_steps: int, t0: int = 0):
+    import jax
+    import jax.numpy as jnp
+
+    from die_tpu.fast.rollout import jax_step_bits
+
+    shape = state.occ.shape
+    rule = make_turn_rule(params)
+
+    def body(carry, t):
+        st = carry
+        bits = jax_step_bits(dyn, rollout_key, t, shape)
+        st, reward, num = fast_step(dyn, st, bits, turn_rule=rule)
+        return st, (reward, num)
+
+    state, (rewards, nums) = jax.lax.scan(body, state,
+                                          jnp.arange(num_steps) + t0)
+    return state, rewards, nums
+
+
+def oracle_learned_rollout(dyn: FastDynamics, params: np.ndarray,
+                           state: FastEnvState, rollout_key: np.ndarray,
+                           num_steps: int, t0: int = 0):
+    from die_tpu.fast.rollout import np_step_bits
+
+    rule = make_turn_rule(params)
+    shape = state.occ.shape
+    rewards = np.zeros(num_steps, np.float32)
+    nums = np.zeros(num_steps, np.int32)
+    for i in range(num_steps):
+        bits = np_step_bits(dyn, rollout_key, t0 + i, shape)
+        state, reward, num = fast_step(dyn, state, bits, turn_rule=rule)
+        rewards[i] = reward
+        nums[i] = num
+    return state, rewards, nums
+
+
+class LatticeTrainConfig(NamedTuple):
+    field_size: tuple = (64, 64)
+    epochs: int = 50
+    epoch_iters: int = 50
+    popsize: int = 16
+    envs_per_eval: int = 2
+    seed: int = 0
+
+
+def train_lattice(dyn: FastDynamics, cfg: LatticeTrainConfig, log_fn=None):
+    """Neuroevolution of the turn rule on the fast engine.
+
+    Returns (best_params f32[3,7], es_state, history).
+    """
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jr
+    from jax.flatten_util import ravel_pytree
+
+    from die_tpu.fast.init import fast_init_jax
+    from die_tpu.learn.es import PGPE
+
+    params0 = init_turn_params(jr.PRNGKey(cfg.seed))
+    flat0, unravel = ravel_pytree(params0)
+    searcher = PGPE(flat0.shape[0], popsize=cfg.popsize,
+                    center_learning_rate=0.05, radius_init=0.5,
+                    max_speed=0.1)
+    es_state = searcher.init(flat0)
+
+    def eval_member(flat_params, member_key):
+        params = unravel(flat_params)
+
+        def one_env(k):
+            st = fast_init_jax(jr.fold_in(member_key, k), cfg.field_size, dyn)
+            _, rewards, _ = learned_fast_rollout(
+                dyn, params, st, jr.fold_in(member_key, 1000 + k),
+                cfg.epoch_iters)
+            return jnp.sum(rewards)
+
+        return jnp.mean(jax.vmap(one_env)(jnp.arange(cfg.envs_per_eval)))
+
+    @jax.jit
+    def generation(es_state, key):
+        pop, eps = searcher.ask(es_state, jr.fold_in(key, 0))
+        member_keys = jax.vmap(
+            lambda i: jr.fold_in(jr.fold_in(key, 1), i)
+        )(jnp.arange(cfg.popsize))
+        fitnesses = jax.vmap(eval_member)(pop, member_keys)
+        es_state = searcher.tell(es_state, eps, fitnesses)
+        return es_state, fitnesses
+
+    master = jr.PRNGKey(cfg.seed)
+    history = []
+    best_fit, best_center = -np.inf, np.asarray(es_state.center)
+    for epoch in range(cfg.epochs):
+        es_state, fits = generation(es_state, jr.fold_in(master, epoch))
+        m = {"epoch": epoch, "best": float(jnp.max(fits)),
+             "mean": float(jnp.mean(fits))}
+        history.append(m)
+        if m["best"] > best_fit:
+            best_fit = m["best"]
+            best_center = np.asarray(es_state.center)
+        if log_fn:
+            log_fn(epoch, m)
+    return best_center.reshape(NUM_ACTIONS, NUM_FEATURES + 1), es_state, \
+        history

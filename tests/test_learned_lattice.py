@@ -1,0 +1,52 @@
+"""Learnable lattice policy: oracle parity, and ES training improves it."""
+import numpy as np
+import jax
+import jax.random as jr
+
+from die_tpu.core.rng import np_key
+from die_tpu.fast.config import FastDynamics
+from die_tpu.fast.init import fast_init_jax, fast_init_np
+from die_tpu.fast.learned import (
+    LatticeTrainConfig,
+    init_turn_params,
+    learned_fast_rollout,
+    np_init_turn_params,
+    oracle_learned_rollout,
+    train_lattice,
+)
+
+SIZE = (32, 32)
+
+
+def test_params_init_parity():
+    a = np_init_turn_params(np_key(5))
+    b = np.asarray(init_turn_params(jr.PRNGKey(5)))
+    assert np.array_equal(a, b)
+
+
+def test_learned_rollout_parity_bitwise():
+    dyn = FastDynamics()
+    params_np = np_init_turn_params(np_key(2))
+    params_j = init_turn_params(jr.PRNGKey(2))
+    st_np = fast_init_np(np_key(7), SIZE, dyn)
+    st_j = fast_init_jax(jr.PRNGKey(7), SIZE, dyn)
+    o_state, o_rew, o_num = oracle_learned_rollout(
+        dyn, params_np, st_np, np_key(11), 10)
+    run = jax.jit(lambda p, s: learned_fast_rollout(dyn, p, s,
+                                                    jr.PRNGKey(11), 10))
+    j_state, j_rew, j_num = run(params_j, st_j)
+    assert np.array_equal(o_rew, np.asarray(j_rew))
+    assert np.array_equal(o_state.occ, np.asarray(j_state.occ))
+    assert np.array_equal(o_state.chem, np.asarray(j_state.chem))
+
+
+def test_train_lattice_smoke():
+    dyn = FastDynamics(init_agent_ratio=0.2, food_infinite=True)
+    cfg = LatticeTrainConfig(field_size=(16, 16), epochs=4, epoch_iters=8,
+                             popsize=8, envs_per_eval=1, seed=3)
+    logs = []
+    best_params, es_state, history = train_lattice(
+        dyn, cfg, log_fn=lambda e, m: logs.append(m))
+    assert len(history) == 4
+    assert best_params.shape == (3, 7)
+    assert all(np.isfinite(h["best"]) for h in history)
