@@ -1,0 +1,107 @@
+"""Spatial domain decomposition — the sequence-parallel analog (SURVEY §5.7).
+
+For fields too large for one device, the W axis shards over a ``space`` mesh
+axis and each step runs on halo-padded local blocks inside ``shard_map``:
+ring ``ppermute`` exchanges R boundary rows with both neighbors (the torus
+boundary IS the ring), the full lattice step executes on the padded block,
+and the center slice is kept.  R must cover one step's influence radius
+(sense_dist + move 1 + diffusion radius).
+
+State fields after a sharded step are bitwise identical to the unsharded
+step (verified in tests on the 8-virtual-device CPU mesh).  The per-step
+reward is reduced blockwise + psum, which changes the fp32 summation order
+versus the global pinned tree-fold — rewards are therefore reported from the
+blockwise order (deterministic for a fixed mesh, documented divergence).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+try:
+    from jax import shard_map  # jax >= 0.6 public API
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from die_tpu.fast.config import FastDynamics
+from die_tpu.fast.env import FastEnvState, FastStepBits, fast_step_full
+from die_tpu.ops.gaussian import gaussian_taps
+
+
+def halo_radius(dyn: FastDynamics) -> int:
+    """One step's influence radius: sensing + movement + diffusion."""
+    diffuse_r = (len(gaussian_taps(dyn.diffuse_sigma)) - 1) // 2
+    return int(dyn.sense_dist) + 1 + diffuse_r
+
+
+def _exchange_halo(field, r: int, axis_name: str, n: int):
+    """Pad a [w_loc, H] block with r rows from each ring neighbor."""
+    top = field[:r]
+    bottom = field[-r:]
+    # my bottom rows become the next device's top halo, and vice versa
+    from_prev = jax.lax.ppermute(bottom, axis_name,
+                                 perm=[(i, (i + 1) % n) for i in range(n)])
+    from_next = jax.lax.ppermute(top, axis_name,
+                                 perm=[(i, (i - 1) % n) for i in range(n)])
+    return jnp.concatenate([from_prev, field, from_next], axis=0)
+
+
+def make_spatial_fast_step(dyn: FastDynamics, mesh: Mesh,
+                           axis: str = "space"):
+    """Returns jittable ``step(state, bits) -> (state, reward, num)`` with
+    every state field sharded P(axis, None) over rows."""
+    if dyn.flow.kind != "none":
+        raise NotImplementedError(
+            "spatial sharding computes on local blocks; the analytic wave "
+            "flow needs global coordinates (use data-parallel sharding)")
+    r = halo_radius(dyn)
+    n = mesh.shape[axis]
+
+    def local_step(occ, dirf, afood, efood, chem, rand):
+        pad = partial(_exchange_halo, r=r, axis_name=axis, n=n)
+        state = FastEnvState(occ=pad(occ), dir=pad(dirf),
+                             agent_food=pad(afood), env_food=pad(efood),
+                             chem=pad(chem), flow_step=jnp.int32(0))
+        bits = FastStepBits(rand=pad(rand))
+        new_state, _, _, gained = fast_step_full(dyn, state, bits)
+        sl = slice(r, -r)
+        new_occ = new_state.occ[sl]
+        # blockwise reward/num + psum (documented order divergence)
+        reward = jax.lax.psum(jnp.sum(gained[sl]), axis)
+        num = jax.lax.psum(
+            jnp.sum((new_occ > 0).astype(jnp.int32)), axis)
+        return (new_occ, new_state.dir[sl], new_state.agent_food[sl],
+                new_state.env_food[sl], new_state.chem[sl], reward, num)
+
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(axis, None),) * 6,
+        out_specs=((P(axis, None),) * 5 + (P(), P())),
+        check_vma=False,
+    )
+
+    def step(state: FastEnvState, bits: FastStepBits):
+        occ, dirf, afood, efood, chem, reward, num = sharded(
+            state.occ, state.dir, state.agent_food, state.env_food,
+            state.chem, bits.rand)
+        return FastEnvState(occ=occ, dir=dirf, agent_food=afood,
+                            env_food=efood, chem=chem,
+                            flow_step=state.flow_step), reward, num
+
+    return step
+
+
+def shard_field_state(mesh: Mesh, state: FastEnvState, axis: str = "space"):
+    sharding = NamedSharding(mesh, P(axis, None))
+    scalar = NamedSharding(mesh, P())
+    return FastEnvState(
+        occ=jax.device_put(state.occ, sharding),
+        dir=jax.device_put(state.dir, sharding),
+        agent_food=jax.device_put(state.agent_food, sharding),
+        env_food=jax.device_put(state.env_food, sharding),
+        chem=jax.device_put(state.chem, sharding),
+        flow_step=jax.device_put(state.flow_step, scalar),
+    )
