@@ -72,15 +72,15 @@ def _kernel_bits(dyn, k0, k1, shape):
     return _threefry_bits_2d(k0, k1, shape)
 
 
-def _step_kernel(dyn: FastDynamics, keys_ref, occ_ref, dir_ref, afood_ref,
-                 efood_ref, chem_ref, occ_o, dir_o, afood_o, efood_o, chem_o,
-                 reward_o, num_o):
+def _step_kernel(dyn: FastDynamics, keys_ref, flow_ref, occ_ref, dir_ref,
+                 afood_ref, efood_ref, chem_ref, occ_o, dir_o, afood_o,
+                 efood_o, chem_o, reward_o, num_o, flow_o):
     shape = occ_ref.shape
     bits = FastStepBits(rand=_kernel_bits(dyn, keys_ref[0], keys_ref[1],
                                           shape))
     state = FastEnvState(occ=occ_ref[:], dir=dir_ref[:],
                          agent_food=afood_ref[:], env_food=efood_ref[:],
-                         chem=chem_ref[:], flow_step=jnp.int32(0))
+                         chem=chem_ref[:], flow_step=flow_ref[0, 0])
     new_state, reward, num = fast_step(dyn, state, bits)
     occ_o[:] = new_state.occ
     dir_o[:] = new_state.dir
@@ -89,6 +89,7 @@ def _step_kernel(dyn: FastDynamics, keys_ref, occ_ref, dir_ref, afood_ref,
     chem_o[:] = new_state.chem
     reward_o[0, 0] = reward
     num_o[0, 0] = num
+    flow_o[0, 0] = new_state.flow_step
 
 
 def make_pallas_step(dyn: FastDynamics, field_size, interpret: bool = False):
@@ -96,9 +97,6 @@ def make_pallas_step(dyn: FastDynamics, field_size, interpret: bool = False):
 
     ``site_keys``: u32[2] — the step key, fold_in(rollout_key, t).
     """
-    if dyn.flow.kind != "none":
-        raise NotImplementedError("pallas step supports flow.kind='none'; "
-                                  "use the XLA path for wave flow")
     W, H = field_size
     if (W & (W - 1)) or (H & (H - 1)) or W < 8 or H < 128:
         raise ValueError("pallas step needs pow2 field sizes >= (8, 128)")
@@ -111,60 +109,61 @@ def make_pallas_step(dyn: FastDynamics, field_size, interpret: bool = False):
             kernel,
             out_shape=(field, field, field, field, field,
                        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                       jax.ShapeDtypeStruct((1, 1), jnp.int32),
                        jax.ShapeDtypeStruct((1, 1), jnp.int32)),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
             out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 5
-            + (pl.BlockSpec(memory_space=pltpu.SMEM),
-               pl.BlockSpec(memory_space=pltpu.SMEM)),
+            + (pl.BlockSpec(memory_space=pltpu.SMEM),) * 3,
             interpret=interpret,
-        )(site_keys, state.occ, state.dir, state.agent_food,
-          state.env_food, state.chem)
-        occ, dirf, afood, efood, chem, reward, num = outs
+        )(site_keys, state.flow_step.reshape(1, 1), state.occ, state.dir,
+          state.agent_food, state.env_food, state.chem)
+        occ, dirf, afood, efood, chem, reward, num, flow = outs
         new_state = FastEnvState(occ=occ, dir=dirf, agent_food=afood,
                                  env_food=efood, chem=chem,
-                                 flow_step=state.flow_step)
+                                 flow_step=flow[0, 0])
         return new_state, reward[0, 0], num[0, 0]
 
     return step
 
 
-def _multi_step_kernel(dyn: FastDynamics, num_inner: int, keys_ref, occ_ref,
-                       dir_ref, afood_ref, efood_ref, chem_ref, occ_o, dir_o,
-                       afood_o, efood_o, chem_o, reward_o, num_o):
+def _multi_step_kernel(dyn: FastDynamics, num_inner: int, keys_ref, flow_ref,
+                       occ_ref, dir_ref, afood_ref, efood_ref, chem_ref,
+                       occ_o, dir_o, afood_o, efood_o, chem_o, reward_o,
+                       num_o, flow_o):
     """K fused steps with state resident in VMEM across all of them — HBM
     sees one read + one write of the five fields per K steps."""
     shape = occ_ref.shape
 
     def body(k, carry):
-        occ, dirf, afood, efood, chem = carry
+        occ, dirf, afood, efood, chem, flow_step = carry
         bits = FastStepBits(rand=_kernel_bits(dyn, keys_ref[k, 0],
                                               keys_ref[k, 1], shape))
         state = FastEnvState(occ=occ, dir=dirf, agent_food=afood,
                              env_food=efood, chem=chem,
-                             flow_step=jnp.int32(0))
+                             flow_step=flow_step)
         new_state, reward, num = fast_step(dyn, state, bits)
         reward_o[k, 0] = reward
         num_o[k, 0] = num
         return (new_state.occ, new_state.dir, new_state.agent_food,
-                new_state.env_food, new_state.chem)
+                new_state.env_food, new_state.chem, new_state.flow_step)
 
-    carry = (occ_ref[:], dir_ref[:], afood_ref[:], efood_ref[:], chem_ref[:])
-    occ, dirf, afood, efood, chem = jax.lax.fori_loop(0, num_inner, body,
-                                                      carry)
+    carry = (occ_ref[:], dir_ref[:], afood_ref[:], efood_ref[:], chem_ref[:],
+             flow_ref[0, 0])
+    occ, dirf, afood, efood, chem, flow_step = jax.lax.fori_loop(
+        0, num_inner, body, carry)
     occ_o[:] = occ
     dir_o[:] = dirf
     afood_o[:] = afood
     efood_o[:] = efood
     chem_o[:] = chem
+    flow_o[0, 0] = flow_step
 
 
 def make_pallas_multi_step(dyn: FastDynamics, field_size, num_inner: int,
                            interpret: bool = False):
     """Returns jittable ``chunk(state, site_keys[K,2]) -> (state,
     rewards[K], nums[K])`` running K steps per kernel launch."""
-    if dyn.flow.kind != "none":
-        raise NotImplementedError("pallas step supports flow.kind='none'")
     W, H = field_size
     if (W & (W - 1)) or (H & (H - 1)) or W < 8 or H < 128:
         raise ValueError("pallas step needs pow2 field sizes >= (8, 128)")
@@ -177,19 +176,19 @@ def make_pallas_multi_step(dyn: FastDynamics, field_size, num_inner: int,
             kernel,
             out_shape=(field, field, field, field, field,
                        jax.ShapeDtypeStruct((num_inner, 1), jnp.float32),
-                       jax.ShapeDtypeStruct((num_inner, 1), jnp.int32)),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+                       jax.ShapeDtypeStruct((num_inner, 1), jnp.int32),
+                       jax.ShapeDtypeStruct((1, 1), jnp.int32)),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
             out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 5
-            + (pl.BlockSpec(memory_space=pltpu.SMEM),
-               pl.BlockSpec(memory_space=pltpu.SMEM)),
+            + (pl.BlockSpec(memory_space=pltpu.SMEM),) * 3,
             interpret=interpret,
-        )(site_keys, state.occ, state.dir, state.agent_food,
-          state.env_food, state.chem)
-        occ, dirf, afood, efood, chem, rewards, nums = outs
+        )(site_keys, state.flow_step.reshape(1, 1), state.occ, state.dir,
+          state.agent_food, state.env_food, state.chem)
+        occ, dirf, afood, efood, chem, rewards, nums, flow = outs
         new_state = FastEnvState(occ=occ, dir=dirf, agent_food=afood,
                                  env_food=efood, chem=chem,
-                                 flow_step=state.flow_step)
+                                 flow_step=flow[0, 0])
         return new_state, rewards[:, 0], nums[:, 0]
 
     return chunk

@@ -15,6 +15,19 @@ import numpy as np
 from die_tpu.core.mathx import PI, sincos, sqrt, xp_of
 
 
+def _iota2d_f32(xp, shape, dim):
+    """2D float iota — via broadcasted_iota on jax so the op is legal inside
+    Pallas kernels (captured array constants and 1-D iotas are not)."""
+    if xp is np:
+        n = shape[dim]
+        a = np.arange(n, dtype=np.float32)
+        return np.broadcast_to(a.reshape((n, 1) if dim == 0 else (1, n)),
+                               shape).copy()
+    import jax
+
+    return jax.lax.broadcasted_iota(np.float32, shape, dim)
+
+
 def wave_field(size_wh, t):
     """F(t): fp32 [W, H] field for scalar fp32 time ``t`` (np or jnp)."""
     xp = xp_of(t)
@@ -22,10 +35,10 @@ def wave_field(size_wh, t):
     two = np.float32(2.0)
     one = np.float32(1.0)
     # reference grid: x varies along axis 1 (H), y along axis 0 (W)
-    xs_h = np.arange(H, dtype=np.float32) * np.float32(1.0 / (H - 1))
-    ys_w = np.arange(W, dtype=np.float32) * np.float32(1.0 / (W - 1))
-    x = xp.asarray((xs_h * two - one)[None, :])  # [1, H]
-    y = xp.asarray((ys_w * two - one)[:, None])  # [W, 1]
+    xs_h = _iota2d_f32(xp, (1, H), 1) * np.float32(1.0 / (H - 1))
+    ys_w = _iota2d_f32(xp, (W, 1), 0) * np.float32(1.0 / (W - 1))
+    x = xs_h * two - one  # [1, H]
+    y = ys_w * two - one  # [W, 1]
 
     r = sqrt(x * x + y * y)  # [W, H]
     sin_x, cos_x = sincos(PI * x)

@@ -21,6 +21,39 @@ from die_tpu.render.plotting import InteractivePlotter, render_animation
 from die_tpu.render.renderer import EnvRenderer
 
 
+def record_fast(filename="animation.gif", field_size=(128, 128),
+                num_frames=100, agent_ratio=0.15, seed=0, headless=True,
+                steps_per_frame=2):
+    """GIF of the fast lattice engine."""
+    if headless:
+        matplotlib.use("Agg")
+    from die_tpu.fast.config import FastDynamics
+    from die_tpu.fast.init import fast_init_jax
+    from die_tpu.fast.render_adapter import make_fast_render_fn
+    from die_tpu.fast.rollout import fast_rollout
+
+    dyn = FastDynamics(init_agent_ratio=agent_ratio)
+    master = jr.PRNGKey(seed)
+    holder = {"state": fast_init_jax(
+        jr.fold_in(master, ch.TAG_SESSION_ENV_INIT), field_size, dyn)}
+    roll_key = jr.fold_in(master, ch.TAG_SESSION_ROLLOUT)
+    import jax.numpy as jnp
+
+    step = jax.jit(lambda s, t: fast_rollout(dyn, s, roll_key,
+                                             steps_per_frame, t))
+
+    def frame_step(i):
+        s, _, _ = step(holder["state"], jnp.int32(i * steps_per_frame))
+        holder["state"] = s
+
+    renderer = EnvRenderer(field_size)
+    plotter = InteractivePlotter.get(
+        make_fast_render_fn(lambda: holder["state"], renderer),
+        ion=not headless)
+    render_animation(frame_step, plotter, filename, num_frames=num_frames)
+    print(f"wrote {filename}")
+
+
 def record(filename="animation.gif", field_size=(128, 128), num_frames=100,
            agent_ratio=0.15, seed=0, headless=True):
     if headless:
@@ -58,5 +91,9 @@ if __name__ == "__main__":
     ap.add_argument("--out", default="animation.gif")
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--frames", type=int, default=100)
+    ap.add_argument("--engine", default="exact", choices=["exact", "fast"])
     args = ap.parse_args()
-    record(args.out, (args.size, args.size), args.frames)
+    if args.engine == "fast":
+        record_fast(args.out, (args.size, args.size), args.frames)
+    else:
+        record(args.out, (args.size, args.size), args.frames)

@@ -29,10 +29,21 @@ def test_pallas_rollout_matches_xla_bitwise():
 
 
 def test_pallas_guards():
-    from die_tpu.core.config import FlowConfig
-
-    with pytest.raises(NotImplementedError):
-        make_pallas_step(FastDynamics(flow=FlowConfig(kind="wave")),
-                         (8, 128))
     with pytest.raises(ValueError):
         make_pallas_step(FastDynamics(), (24, 24))
+
+
+def test_pallas_wave_flow_matches_xla():
+    from die_tpu.core.config import FlowConfig
+
+    dyn = FastDynamics(flow=FlowConfig(kind="wave", scale=0.5, decay=0.5))
+    st = fast_init_jax(jr.PRNGKey(4), SIZE, dyn)
+    ref_state, ref_rew, _ = jax.jit(
+        lambda s: fast_rollout(dyn, s, jr.PRNGKey(6), 4))(st)
+    pal_state, pal_rew, _ = jax.jit(
+        lambda s: pallas_fast_rollout(dyn, s, jr.PRNGKey(6), 4,
+                                      interpret=True))(st)
+    assert np.array_equal(np.asarray(ref_rew), np.asarray(pal_rew))
+    assert np.array_equal(np.asarray(ref_state.env_food),
+                          np.asarray(pal_state.env_food))
+    assert int(ref_state.flow_step) == int(pal_state.flow_step) == 4
