@@ -146,8 +146,11 @@ class GradientPolicy(Policy):
                                 pstate.direction_rads)
         cx = coords_to_cells(agents[ch.CH_AGT_X] + off_x, W)
         cy = coords_to_cells(agents[ch.CH_AGT_Y] + off_y, H)
-        gpx = gather_field(gx, cx, cy)
-        gpy = gather_field(gy, cx, cy)
+        # one 2-wide row gather instead of two scalar gathers (same values;
+        # halves the dominant serialized-gather cost on TPU)
+        g_rows = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
+        per = jnp.take(g_rows, cx * H + cy, axis=0)
+        gpx, gpy = per[:, 0], per[:, 1]
 
         (gpx, gpy), direction, deposit_mask = self._process_gradient(
             (gpx, gpy), pstate.direction_rads, key)

@@ -84,3 +84,32 @@ def test_policy_render_hooks():
     params = n.init_model_params(jr.PRNGKey(1))
     imgs = n.render(params, obs)
     assert imgs[0].shape == (8, 8, 3)
+
+
+def test_invariants_exact_engine():
+    from die_tpu.utils.invariants import assert_invariants, check_env_state
+
+    st = oracle_init_state(np_key(8), (12, 12), Dynamics(init_agent_ratio=0.2))
+    assert check_env_state(st) == []
+    assert_invariants(st)
+    # corrupt: alive agent with coord out of range
+    st.agents[0, 0] = 2.0
+    st.agents[2, 0] = 1.0
+    assert any("coords" in v for v in check_env_state(st))
+
+
+def test_invariants_fast_engine():
+    from die_tpu.fast.config import FastDynamics
+    from die_tpu.fast.init import fast_init_np
+    from die_tpu.fast.rollout import oracle_fast_rollout
+    from die_tpu.utils.invariants import (
+        check_fast_state,
+        mass_conservation_delta,
+    )
+
+    dyn = FastDynamics()
+    st = fast_init_np(np_key(9), (16, 16), dyn)
+    assert check_fast_state(st) == []
+    st2, _, _ = oracle_fast_rollout(dyn, st, np_key(10), 5)
+    assert check_fast_state(st2) == []
+    assert mass_conservation_delta(st, st2) == 0.0
