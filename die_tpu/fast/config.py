@@ -29,6 +29,9 @@ from die_tpu.core.config import FlowConfig
 
 @dataclass(frozen=True)
 class FastDynamics:
+    # lattice resolution: 8 (Moore, 45-degree turns — the faithful Physarum
+    # lattice) or 4 (von Neumann, 90-degree turns — ~1.7x faster)
+    num_dirs: int = 8
     # sensing: probe chem at sense_dist cells along heading and heading +-1
     sense_dist: int = 3
     # movement

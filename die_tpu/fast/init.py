@@ -29,7 +29,7 @@ def _common(xp, perlin, u_occ, u_food, dir_bits, dyn: FastDynamics):
     env_food = perlin * ((perlin >= np.float32(0.0)) & (perlin <= thr))
     ratio = np.float32(dyn.init_agent_ratio)
     occ = ((u_occ > np.float32(0.0)) & (u_occ <= ratio)).astype(np.float32)
-    dirf = (dir_bits & np.uint32(NUM_DIRS - 1)).astype(np.float32) * occ
+    dirf = (dir_bits & np.uint32(dyn.num_dirs - 1)).astype(np.float32) * occ
     agent_food = (np.float32(0.9) * u_food + np.float32(0.1)) * occ
     chem = xp.zeros_like(env_food)
     return FastEnvState(occ=occ, dir=dirf, agent_food=agent_food,

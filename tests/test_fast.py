@@ -143,3 +143,19 @@ def test_fast_sharded_equals_unsharded():
     st_s, rew_s, _ = run(batched_s, keys_s)
     assert np.array_equal(np.asarray(ref_rew), np.asarray(rew_s))
     assert np.array_equal(np.asarray(ref_st.occ), np.asarray(st_s.occ))
+
+
+def test_four_direction_lattice():
+    dyn = FastDynamics(num_dirs=4)
+    st_np = fast_init_np(np_key(17), SIZE, dyn)
+    st_j = fast_init_jax(jr.PRNGKey(17), SIZE, dyn)
+    o_state, o_rew, o_num = oracle_fast_rollout(dyn, st_np, np_key(18), 10)
+    j_state, j_rew, j_num = jax.jit(
+        lambda s: fast_rollout(dyn, s, jr.PRNGKey(18), 10))(st_j)
+    assert np.array_equal(o_rew, np.asarray(j_rew))
+    assert np.array_equal(o_state.occ, np.asarray(j_state.occ))
+    dirs = o_state.dir[o_state.occ > 0]
+    assert dirs.max() <= 3
+    # population conserved, agents move
+    assert o_num[-1] == int(st_np.occ.sum())
+    assert not np.array_equal(st_np.occ, o_state.occ)
