@@ -16,7 +16,6 @@ behavior) where the path-dependence is wanted.
 """
 from __future__ import annotations
 
-import json
 import time
 from dataclasses import dataclass
 from functools import partial

@@ -24,7 +24,7 @@ from __future__ import annotations
 import io
 import json
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 _REGISTRY: Dict[str, type] = {}
 

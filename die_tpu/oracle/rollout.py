@@ -10,7 +10,6 @@ from die_tpu.core.rng import np_fold_in
 from die_tpu.oracle.env import (
     OracleState,
     oracle_env_step,
-    oracle_init_state,
     oracle_observe,
 )
 

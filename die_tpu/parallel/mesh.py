@@ -28,7 +28,6 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from die_tpu.core.config import Dynamics
-from die_tpu.core.state import EnvState
 from die_tpu.parallel.rollout import rollout
 
 
