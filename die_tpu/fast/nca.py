@@ -1,0 +1,179 @@
+"""Conv-NCA lattice policy — the Neural-CA learned agent on the fast engine.
+
+The production-engine analog of the reference's ``NeuralAutomataAgent``
+(core/agent/evo.py:121-209): a small circular-padded conv stack reads the
+local neighborhood of every cell and emits turn logits, replacing the fixed
+Jones rule through the ``turn_rule`` hook.  Features per cell: the three
+chem probes (left/fwd/right at sense_dist) plus the four state channels.
+
+Architecture: 3x3 conv (7 -> hidden) -> tanh -> 1x1 conv (hidden -> 3),
+deterministic argmax with pinned tie-breaking.  All roll/elementwise ops —
+the same op set as the engine itself, trainable by ES at engine speed.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from die_tpu.core.mathx import tanh
+from die_tpu.fast.config import FastDynamics
+from die_tpu.fast.env import FastEnvState, fast_step
+from die_tpu.ops.convops import circular_conv, xavier_uniform_bound
+
+_F0 = np.float32(0.0)
+_F1 = np.float32(1.0)
+
+NUM_FEATURES = 7  # left, fwd, right, occ, agent_food, env_food, chem
+
+
+class ConvTurnParams(NamedTuple):
+    conv: object  # f32[hidden, 7, 3, 3]
+    head: object  # f32[3, hidden, 1, 1]
+
+
+def init_conv_turn_params(key, hidden: int = 8) -> ConvTurnParams:
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    from die_tpu.core.rng import uniform01_from_bits
+
+    def draw(k, shape, c_in, c_out, ksz):
+        bound = xavier_uniform_bound(c_in, c_out, ksz)
+        u = uniform01_from_bits(jr.bits(k, shape, jnp.uint32))
+        return (np.float32(2.0) * u - _F1) * bound
+
+    return ConvTurnParams(
+        conv=draw(jr.fold_in(key, 0), (hidden, NUM_FEATURES, 3, 3),
+                  NUM_FEATURES, hidden, 3),
+        head=draw(jr.fold_in(key, 1), (3, hidden, 1, 1), hidden, 3, 1),
+    )
+
+
+def np_init_conv_turn_params(key: np.ndarray,
+                             hidden: int = 8) -> ConvTurnParams:
+    from die_tpu.core.rng import (
+        np_fold_in,
+        np_random_bits,
+        uniform01_from_bits,
+    )
+
+    def draw(k, shape, c_in, c_out, ksz):
+        bound = xavier_uniform_bound(c_in, c_out, ksz)
+        u = uniform01_from_bits(np_random_bits(k, shape))
+        return (np.float32(2.0) * u - _F1) * bound
+
+    return ConvTurnParams(
+        conv=draw(np_fold_in(key, 0), (hidden, NUM_FEATURES, 3, 3),
+                  NUM_FEATURES, hidden, 3),
+        head=draw(np_fold_in(key, 1), (3, hidden, 1, 1), hidden, 3, 1),
+    )
+
+
+def make_conv_turn_rule(params: ConvTurnParams):
+    def rule(xp, left, fwd, right, state: FastEnvState, bits):
+        field = xp.stack([left, fwd, right, state.occ, state.agent_food,
+                          state.env_food, state.chem])
+        hiddenf = tanh(circular_conv(field, params.conv))
+        logits = circular_conv(hiddenf, params.head)
+        l_left, l_keep, l_right = logits[0], logits[1], logits[2]
+        m = xp.maximum(l_keep, l_left)
+        return xp.where(l_right > m, -_F1,
+                        xp.where(l_left > l_keep, _F1, _F0))
+
+    return rule
+
+
+def conv_nca_rollout(dyn: FastDynamics, params: ConvTurnParams,
+                     state: FastEnvState, rollout_key, num_steps: int,
+                     t0: int = 0):
+    import jax
+    import jax.numpy as jnp
+
+    from die_tpu.fast.rollout import jax_step_bits
+
+    shape = state.occ.shape
+    rule = make_conv_turn_rule(params)
+
+    def body(carry, t):
+        st = carry
+        bits = jax_step_bits(dyn, rollout_key, t, shape)
+        st, reward, num = fast_step(dyn, st, bits, turn_rule=rule)
+        return st, (reward, num)
+
+    state, (rewards, nums) = jax.lax.scan(body, state,
+                                          jnp.arange(num_steps) + t0)
+    return state, rewards, nums
+
+
+def oracle_conv_nca_rollout(dyn: FastDynamics, params: ConvTurnParams,
+                            state: FastEnvState, rollout_key: np.ndarray,
+                            num_steps: int, t0: int = 0):
+    from die_tpu.fast.rollout import np_step_bits
+
+    rule = make_conv_turn_rule(params)
+    shape = state.occ.shape
+    rewards = np.zeros(num_steps, np.float32)
+    nums = np.zeros(num_steps, np.int32)
+    for i in range(num_steps):
+        bits = np_step_bits(dyn, rollout_key, t0 + i, shape)
+        state, reward, num = fast_step(dyn, state, bits, turn_rule=rule)
+        rewards[i] = reward
+        nums[i] = num
+    return state, rewards, nums
+
+
+def train_conv_nca(dyn: FastDynamics, cfg, hidden: int = 8, log_fn=None):
+    """PGPE neuroevolution of the conv turn rule (cfg: LatticeTrainConfig)."""
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jr
+    from jax.flatten_util import ravel_pytree
+
+    from die_tpu.fast.init import fast_init_jax
+    from die_tpu.learn.es import PGPE
+
+    params0 = init_conv_turn_params(jr.PRNGKey(cfg.seed), hidden)
+    flat0, unravel = ravel_pytree(tuple(params0))
+    searcher = PGPE(flat0.shape[0], popsize=cfg.popsize,
+                    center_learning_rate=0.05, radius_init=0.5,
+                    max_speed=0.1)
+    es_state = searcher.init(flat0)
+
+    def eval_member(flat_params, member_key):
+        params = ConvTurnParams(*unravel(flat_params))
+
+        def one_env(k):
+            st = fast_init_jax(jr.fold_in(member_key, k), cfg.field_size, dyn)
+            _, rewards, _ = conv_nca_rollout(
+                dyn, params, st, jr.fold_in(member_key, 1000 + k),
+                cfg.epoch_iters)
+            return jnp.sum(rewards)
+
+        return jnp.mean(jax.vmap(one_env)(jnp.arange(cfg.envs_per_eval)))
+
+    @jax.jit
+    def generation(es_state, key):
+        pop, eps = searcher.ask(es_state, jr.fold_in(key, 0))
+        member_keys = jax.vmap(
+            lambda i: jr.fold_in(jr.fold_in(key, 1), i)
+        )(jnp.arange(cfg.popsize))
+        fitnesses = jax.vmap(eval_member)(pop, member_keys)
+        return searcher.tell(es_state, eps, fitnesses), fitnesses
+
+    master = jr.PRNGKey(cfg.seed)
+    history = []
+    best_fit, best_center = -np.inf, np.asarray(es_state.center)
+    for epoch in range(cfg.epochs):
+        es_state, fits = generation(es_state, jr.fold_in(master, epoch))
+        m = {"epoch": epoch, "best": float(jnp.max(fits)),
+             "mean": float(jnp.mean(fits))}
+        history.append(m)
+        if m["best"] > best_fit:
+            best_fit = m["best"]
+            best_center = np.asarray(es_state.center)
+        if log_fn:
+            log_fn(epoch, m)
+    best = ConvTurnParams(*ravel_pytree(tuple(params0))[1](
+        jnp.asarray(best_center)))
+    return best, es_state, history

@@ -50,3 +50,48 @@ def test_train_lattice_smoke():
     assert len(history) == 4
     assert best_params.shape == (3, 7)
     assert all(np.isfinite(h["best"]) for h in history)
+
+
+def test_conv_nca_params_parity():
+    from die_tpu.fast.nca import (
+        init_conv_turn_params,
+        np_init_conv_turn_params,
+    )
+
+    a = np_init_conv_turn_params(np_key(4))
+    b = init_conv_turn_params(jr.PRNGKey(4))
+    assert np.array_equal(a.conv, np.asarray(b.conv))
+    assert np.array_equal(a.head, np.asarray(b.head))
+
+
+def test_conv_nca_rollout_parity_bitwise():
+    from die_tpu.fast.nca import (
+        conv_nca_rollout,
+        np_init_conv_turn_params,
+        init_conv_turn_params,
+        oracle_conv_nca_rollout,
+    )
+
+    dyn = FastDynamics()
+    p_np = np_init_conv_turn_params(np_key(6))
+    p_j = init_conv_turn_params(jr.PRNGKey(6))
+    st_np = fast_init_np(np_key(7), SIZE, dyn)
+    st_j = fast_init_jax(jr.PRNGKey(7), SIZE, dyn)
+    o_state, o_rew, _ = oracle_conv_nca_rollout(dyn, p_np, st_np,
+                                                np_key(8), 6)
+    run = jax.jit(lambda p, s: conv_nca_rollout(dyn, p, s, jr.PRNGKey(8), 6))
+    j_state, j_rew, _ = run(p_j, st_j)
+    assert np.array_equal(o_rew, np.asarray(j_rew))
+    assert np.array_equal(o_state.occ, np.asarray(j_state.occ))
+
+
+def test_conv_nca_train_smoke():
+    from die_tpu.fast.nca import train_conv_nca
+
+    dyn = FastDynamics(init_agent_ratio=0.2, food_infinite=True)
+    cfg = LatticeTrainConfig(field_size=(16, 16), epochs=3, epoch_iters=6,
+                             popsize=6, envs_per_eval=1, seed=2)
+    best, es_state, history = train_conv_nca(dyn, cfg, hidden=4)
+    assert len(history) == 3
+    assert best.conv.shape == (4, 7, 3, 3)
+    assert all(np.isfinite(h["best"]) for h in history)
