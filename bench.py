@@ -35,7 +35,7 @@ def bench_fast():
 
     B = int(os.environ.get("BENCH_ENVS", 1024))
     F = int(os.environ.get("BENCH_FIELD", 256))
-    T = int(os.environ.get("BENCH_STEPS", 32))
+    T = int(os.environ.get("BENCH_STEPS", 64))
     REPS = int(os.environ.get("BENCH_REPS", 3))
     use_pallas = os.environ.get("BENCH_PALLAS", "1") != "0"
 
