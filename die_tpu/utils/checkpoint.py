@@ -35,6 +35,26 @@ def load_pytree(path: str | os.PathLike, like: Any) -> Any:
     return jax.tree_util.tree_unflatten(treedef, restored)
 
 
+def save_sharded(path: str | os.PathLike, tree: Any) -> None:
+    """Orbax-backed checkpoint for sharded/distributed pytrees: each host
+    writes its own shards (no host gather), suitable for multi-host pods.
+    For host-local trees, ``save_pytree`` (npz) is simpler."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(str(path))
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, tree, force=True)
+
+
+def load_sharded(path: str | os.PathLike, like: Any) -> Any:
+    """Restore an orbax checkpoint with the structure/sharding of ``like``."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(str(path))
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, like)
+
+
 def save_training_state(directory: str, epoch: int, es_state, cfg) -> str:
     """ES training checkpoint: EsState arrays + config JSON."""
     os.makedirs(directory, exist_ok=True)

@@ -58,3 +58,26 @@ def test_config_json_roundtrip():
     f = FastDynamics(sense_dist=5, agents_die=True)
     f2 = FastDynamics.from_json(f.to_json())
     assert f2 == f
+
+
+def test_orbax_sharded_roundtrip(tmp_path):
+    """Sharded save/restore of a batched fast-engine state on the CPU mesh."""
+    import jax.numpy as jnp
+
+    from die_tpu.fast.config import FastDynamics
+    from die_tpu.fast.init import fast_init_jax
+    from die_tpu.parallel.mesh import env_mesh, shard_env_batch
+    from die_tpu.utils.checkpoint import load_sharded, save_sharded
+
+    dyn = FastDynamics()
+    states = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[fast_init_jax(jr.PRNGKey(b), (16, 16), dyn) for b in range(8)])
+    mesh = env_mesh()
+    sharded = shard_env_batch(mesh, states)
+    path = tmp_path / "ckpt"
+    save_sharded(path, sharded)
+    # restore with the sharded template: layout and values round-trip
+    restored = load_sharded(path, sharded)
+    for a, b in zip(jax.tree.leaves(sharded), jax.tree.leaves(restored)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
