@@ -37,14 +37,19 @@ class FlowConfig:
     ``kind='wave'`` replicates ``WaveSequence.get_flow_operator(scale, decay)``
     (core/data_init.py:71-89): ``food' = scale * F(t) + (1 - decay) * food``
     with ``t`` advancing by ``dt`` per step, cycling over ``[t0, t1)``.
+    ``kind='perlin'`` is the ``PerlinNoiseSequence`` twin
+    (core/data_init.py:55-68): smooth time-varying Perlin noise, realized as
+    quintic interpolation between keyed 2D lattice fields.
     """
 
-    kind: str = "none"  # 'none' | 'wave'
+    kind: str = "none"  # 'none' | 'wave' | 'perlin'
     scale: float = 0.5
     decay: float = 0.5
     dt: float = 0.01
     t0: float = 0.0
     t1: float = 10.0
+    octaves: int = 8   # perlin flow: lattice frequency (space and time)
+    seed: int = 0      # perlin flow: gradient-lattice seed
 
     @property
     def num_steps(self) -> int:

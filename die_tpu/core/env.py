@@ -159,11 +159,16 @@ def _resource_dynamics(dynamics: Dynamics, medium, flow_step):
     """Substep 5 — core/env.py:147-150."""
     if dynamics.flow.kind == "none":
         return medium, flow_step
-    if dynamics.flow.kind != "wave":
-        raise ValueError(f"unknown flow kind {dynamics.flow.kind!r}")
     W, H = medium.shape[-2], medium.shape[-1]
-    t = flow_time(dynamics.flow, flow_step)
-    f = wave_field((W, H), t)
+    if dynamics.flow.kind == "wave":
+        t = flow_time(dynamics.flow, flow_step)
+        f = wave_field((W, H), t)
+    elif dynamics.flow.kind == "perlin":
+        from die_tpu.ops.waves import perlin_flow_field
+
+        f = perlin_flow_field(dynamics.flow, (W, H), flow_step)
+    else:
+        raise ValueError(f"unknown flow kind {dynamics.flow.kind!r}")
     food = medium[ch.CH_MED_FOOD]
     food = np.float32(dynamics.flow.scale) * f + (
         _F1 - np.float32(dynamics.flow.decay)

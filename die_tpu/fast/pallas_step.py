@@ -97,6 +97,9 @@ def make_pallas_step(dyn: FastDynamics, field_size, interpret: bool = False):
 
     ``site_keys``: u32[2] — the step key, fold_in(rollout_key, t).
     """
+    if dyn.flow.kind == "perlin":
+        raise NotImplementedError("perlin flow draws jax.random keys and "
+                                  "runs on the XLA path, not in the kernel")
     W, H = field_size
     if (W & (W - 1)) or (H & (H - 1)) or W < 8 or H < 128:
         raise ValueError("pallas step needs pow2 field sizes >= (8, 128)")
@@ -164,6 +167,9 @@ def make_pallas_multi_step(dyn: FastDynamics, field_size, num_inner: int,
                            interpret: bool = False):
     """Returns jittable ``chunk(state, site_keys[K,2]) -> (state,
     rewards[K], nums[K])`` running K steps per kernel launch."""
+    if dyn.flow.kind == "perlin":
+        raise NotImplementedError("perlin flow draws jax.random keys and "
+                                  "runs on the XLA path, not in the kernel")
     W, H = field_size
     if (W & (W - 1)) or (H & (H - 1)) or W < 8 or H < 128:
         raise ValueError("pallas step needs pow2 field sizes >= (8, 128)")

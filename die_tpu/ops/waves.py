@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 
 from die_tpu.core.mathx import PI, sincos, sqrt, xp_of
+from die_tpu.ops.perlin import perlin_field
 
 
 def _iota2d_f32(xp, shape, dim):
@@ -63,3 +64,52 @@ def flow_time(flow_cfg, step_index):
     n = flow_cfg.num_steps
     idx = step_index % n
     return np.float32(flow_cfg.t0) + idx.astype(np.float32) * np.float32(flow_cfg.dt)
+
+
+def _fade_scalar(t):
+    a = np.float32(6.0)
+    b = np.float32(-15.0)
+    c = np.float32(10.0)
+    return t * t * t * (c + t * (b + t * a))
+
+
+def perlin_flow_field(flow_cfg, size_wh, step_index):
+    """Time-varying Perlin field — twin of ``PerlinNoiseSequence``
+    (core/data_init.py:55-68).  Smooth in time via quintic interpolation
+    between 2D lattice fields keyed per integer time step:
+    ``F(t) = lerp(P_k, P_{k+1}, fade(frac))`` with ``tau = t * octaves``.
+    Backend-generic: np for the oracle, jnp (jit-safe, traced k) for the
+    engine.  Not supported inside Pallas kernels (jax.random draw)."""
+    xp = xp_of(step_index)
+    o = flow_cfg.octaves
+    t = flow_time(flow_cfg, step_index)
+    tau = t * np.float32(o)
+    if xp is np:
+        from die_tpu.core.rng import np_fold_in, np_key
+        from die_tpu.ops.perlin import lattice_gradients_np
+
+        k = int(np.floor(tau))
+        frac = np.float32(tau - np.float32(k))
+        base = np_key(flow_cfg.seed)
+        p0 = perlin_field(lattice_gradients_np(np_fold_in(base, k), o),
+                          size_wh, o)
+        p1 = perlin_field(lattice_gradients_np(np_fold_in(base, k + 1), o),
+                          size_wh, o)
+        u = _fade_scalar(frac)
+        return p0 + u * (p1 - p0)
+
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    from die_tpu.ops.perlin import lattice_gradients_jax
+
+    kf = xp.floor(tau)
+    k = kf.astype(jnp.int32)
+    frac = tau - kf
+    base = jr.PRNGKey(flow_cfg.seed)
+    p0 = perlin_field(lattice_gradients_jax(jr.fold_in(base, k), o),
+                      size_wh, o)
+    p1 = perlin_field(lattice_gradients_jax(jr.fold_in(base, k + 1), o),
+                      size_wh, o)
+    u = _fade_scalar(frac)
+    return p0 + u * (p1 - p0)

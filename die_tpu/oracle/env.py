@@ -135,9 +135,14 @@ def oracle_env_step(dynamics: Dynamics, state: OracleState, action: np.ndarray):
         agents[:] = np.where(have_food[None, :], agents, _F0)
 
     # 5. food flow
-    if dynamics.flow.kind == "wave":
-        t = flow_time(dynamics.flow, st.flow_step)
-        f = wave_field((W, H), t)
+    if dynamics.flow.kind in ("wave", "perlin"):
+        if dynamics.flow.kind == "wave":
+            t = flow_time(dynamics.flow, st.flow_step)
+            f = wave_field((W, H), t)
+        else:
+            from die_tpu.ops.waves import perlin_flow_field
+
+            f = perlin_flow_field(dynamics.flow, (W, H), st.flow_step)
         medium[ch.CH_MED_FOOD] = (np.float32(dynamics.flow.scale) * f
                                   + (_F1 - np.float32(dynamics.flow.decay))
                                   * medium[ch.CH_MED_FOOD])

@@ -113,3 +113,15 @@ def test_invariants_fast_engine():
     st2, _, _ = oracle_fast_rollout(dyn, st, np_key(10), 5)
     assert check_fast_state(st2) == []
     assert mass_conservation_delta(st, st2) == 0.0
+
+
+def test_mask_duplicates():
+    from die_tpu.utils.dedup import index_select, mask_duplicates
+
+    a = np.array([3, 1, 3, 2, 1, 3])
+    first = mask_duplicates(a, keep="first")
+    assert list(first) == [False, False, True, False, True, True]
+    none = mask_duplicates(a, keep="none")
+    assert list(none) == [True, True, True, False, True, True]
+    sel = index_select(np.arange(10) * 2, np.array([1, 3]))
+    assert list(sel) == [2, 6]
