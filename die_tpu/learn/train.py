@@ -110,18 +110,29 @@ def build_generation_step(dynamics: Dynamics, policy, cfg: TrainConfig,
 def train(dynamics: Dynamics, policy, cfg: TrainConfig,
           log_fn: Optional[Callable] = None,
           checkpoint_dir: Optional[str] = None,
-          checkpoint_every: int = 0):
+          checkpoint_every: int = 0,
+          resume_from: Optional[str] = None,
+          start_epoch: int = 0):
     """Run the full training loop.  Returns (best_params, es_state, history).
 
     ``log_fn(epoch, metrics_dict)`` receives host-side floats per epoch
     (metrics sink — the reference used evotorch's MlflowLogger,
     learning_agents.py:80-82; see die_tpu/utils/metrics.py for sinks).
+    ``resume_from``: path of an ES checkpoint (.npz from
+    ``save_training_state``); continues at ``start_epoch`` with the exact
+    searcher state — epochs are keyed by index, so a resumed run replays the
+    same generation stream it would have seen uninterrupted.
     """
     params0 = policy.init_model_params(
         jr.fold_in(jr.PRNGKey(cfg.seed), ch.TAG_SESSION_POLICY_INIT))
     flat0, unravel = ravel_pytree(params0)
     searcher = make_searcher(cfg, flat0.shape[0])
     es_state = searcher.init(flat0)
+    if resume_from is not None:
+        from die_tpu.utils.checkpoint import load_training_state
+
+        es_state = load_training_state(resume_from, es_state)
+        es_state = jax.tree.map(jnp.asarray, es_state)
     gen_step = build_generation_step(dynamics, policy, cfg, searcher, unravel)
 
     master = jr.PRNGKey(cfg.seed)
@@ -129,7 +140,7 @@ def train(dynamics: Dynamics, policy, cfg: TrainConfig,
     best_fit = -np.inf
     best_center = np.asarray(es_state.center)
     t_start = time.time()
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         es_state, metrics = gen_step(es_state, jr.fold_in(master, epoch))
         m = {k: float(np.asarray(v)) for k, v in metrics.items()}
         m["epoch"] = epoch

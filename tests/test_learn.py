@@ -79,3 +79,27 @@ def test_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(st),
                     jax.tree_util.tree_leaves(st2)):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_resume_matches_uninterrupted(tmp_path):
+    """Checkpoint at epoch 2, resume, finish — identical final ES state."""
+    from die_tpu.core.config import Dynamics
+
+    dyn = Dynamics(init_agent_ratio=0.2, food_infinite=True)
+    policy = NCAPolicy(scale=0.01, deposit=2.0, kernel_sizes=(3,))
+    cfg = TrainConfig(field_size=(12, 12), max_agents=64, epochs=4,
+                      epoch_iters=4, popsize=4, seed=9)
+
+    _, full_state, _ = train(dyn, policy, cfg)
+
+    # run 2 epochs with checkpointing, then resume for the rest
+    _, _, _ = train(dyn, policy,
+                    TrainConfig(**{**cfg.__dict__, "epochs": 2}),
+                    checkpoint_dir=str(tmp_path), checkpoint_every=2)
+    ckpt = tmp_path / "es_000001.npz"
+    assert ckpt.exists()
+    _, resumed_state, hist = train(dyn, policy, cfg,
+                                   resume_from=str(ckpt), start_epoch=2)
+    assert len(hist) == 2
+    for a, b in zip(jax.tree.leaves(full_state), jax.tree.leaves(resumed_state)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
