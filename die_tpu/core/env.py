@@ -60,10 +60,19 @@ def agent_cells(agents, field_size):
 
 def gather_field(field, ix, iy):
     """Per-agent nearest-cell gather (AgentIndexer.field_by_agents,
-    core/utils.py:39-54)."""
+    core/utils.py:39-54).
+
+    Default path is ``jnp.take``; ``die_tpu.ops.mxu_gather.use_mxu_gather``
+    switches to the MXU one-hot formulation (bitwise-identical results,
+    avoids XLA:TPU's serialized gather lowering)."""
+    from die_tpu.ops.mxu_gather import mxu_gather_enabled, onehot_gather_flat
+
     H = field.shape[-1]
     flat = field.reshape(-1)
-    return jnp.take(flat, ix * H + iy)
+    cell = ix * H + iy
+    if mxu_gather_enabled() and flat.shape[0] % 128 == 0:
+        return onehot_gather_flat(flat, cell)
+    return jnp.take(flat, cell)
 
 
 def _move(dynamics: Dynamics, agents, action):
