@@ -125,3 +125,25 @@ def test_mask_duplicates():
     assert list(none) == [True, True, True, False, True, True]
     sel = index_select(np.arange(10) * 2, np.array([1, 3]))
     assert list(sel) == [2, 6]
+
+
+def test_profiler_trace_writes(tmp_path):
+    import jax.numpy as jnp
+
+    from die_tpu.utils.profiling import annotate, trace
+
+    logdir = tmp_path / "trace"
+    with trace(str(logdir)):
+        with annotate("die_tpu_test_scope"):
+            float(np.asarray(jnp.arange(8.0).sum()))
+    assert any(logdir.rglob("*")), "no trace files written"
+
+
+def test_package_exports():
+    import die_tpu
+    import die_tpu.fast as fast
+    import die_tpu.models as models
+
+    assert die_tpu.Dynamics and die_tpu.init_env_state
+    assert models.PhysarumPolicy and models.NCAPolicy
+    assert fast.FastDynamics and fast.fast_rollout
