@@ -139,6 +139,91 @@ class PGPE:
                        step=state.step + 1)
 
 
+class SepCMAES:
+    """Separable (diagonal-covariance) CMA-ES — the reference's alternative
+    searcher (evotorch ``CMAES(..., separable=True)``, commented at
+    examples/learning_agents.py:56-61).  Ros & Hansen 2008 update rules with
+    a diagonal C; O(D) memory, suitable for the conv-param scales here.
+    """
+
+    def __init__(self, num_params: int, popsize: int = 10,
+                 stdev_init: float = 0.1):
+        self.d = int(num_params)
+        self.popsize = int(popsize)
+        self.sigma0 = float(stdev_init)
+        d = float(self.d)
+        mu = self.popsize // 2
+        w = np.log(mu + 0.5) - np.log(np.arange(1, mu + 1))
+        self.weights = jnp.asarray((w / w.sum()).astype(np.float32))
+        self.mu = mu
+        self.mueff = float(1.0 / np.sum((w / w.sum()) ** 2))
+        self.cs = (self.mueff + 2.0) / (d + self.mueff + 5.0)
+        self.ds = 1.0 + 2.0 * max(0.0, np.sqrt((self.mueff - 1.0) /
+                                               (d + 1.0)) - 1.0) + self.cs
+        self.cc = (4.0 + self.mueff / d) / (d + 4.0 + 2.0 * self.mueff / d)
+        self.c1 = 2.0 / ((d + 1.3) ** 2 + self.mueff)
+        self.cmu = min(1.0 - self.c1,
+                       2.0 * (self.mueff - 2.0 + 1.0 / self.mueff)
+                       / ((d + 2.0) ** 2 + self.mueff))
+        # separable variant scales learning rates up by (d+2)/3
+        sep = (d + 2.0) / 3.0
+        self.c1 *= sep
+        self.cmu *= sep
+        self.chi_d = float(np.sqrt(d) * (1.0 - 1.0 / (4 * d)
+                                         + 1.0 / (21 * d * d)))
+
+    def init(self, center0) -> "CmaState":
+        return CmaState(
+            mean=jnp.asarray(center0, jnp.float32),
+            sigma=jnp.float32(self.sigma0),
+            c_diag=jnp.ones((self.d,), jnp.float32),
+            p_sigma=jnp.zeros((self.d,), jnp.float32),
+            p_c=jnp.zeros((self.d,), jnp.float32),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def ask(self, state: "CmaState", key):
+        z = _normal(key, (self.popsize, self.d))
+        y = z * jnp.sqrt(state.c_diag)[None, :]
+        pop = state.mean[None, :] + state.sigma * y
+        return pop, z
+
+    def tell(self, state: "CmaState", z, fitnesses) -> "CmaState":
+        order = jnp.argsort(-fitnesses)  # maximize
+        z_sel = z[order[:self.mu]]
+        y_sel = z_sel * jnp.sqrt(state.c_diag)[None, :]
+        z_w = jnp.sum(self.weights[:, None] * z_sel, axis=0)
+        y_w = jnp.sum(self.weights[:, None] * y_sel, axis=0)
+
+        mean = state.mean + state.sigma * y_w
+        cs, ds, cc = (np.float32(self.cs), np.float32(self.ds),
+                      np.float32(self.cc))
+        mueff = np.float32(self.mueff)
+        p_sigma = (1.0 - cs) * state.p_sigma \
+            + jnp.sqrt(cs * (2.0 - cs) * mueff) * z_w
+        sigma = state.sigma * jnp.exp(
+            (cs / ds) * (jnp.linalg.norm(p_sigma) / np.float32(self.chi_d)
+                         - 1.0))
+        p_c = (1.0 - cc) * state.p_c \
+            + jnp.sqrt(cc * (2.0 - cc) * mueff) * y_w
+        rank_mu = jnp.sum(self.weights[:, None] * (y_sel * y_sel), axis=0)
+        c_diag = ((1.0 - self.c1 - self.cmu) * state.c_diag
+                  + np.float32(self.c1) * (p_c * p_c)
+                  + np.float32(self.cmu) * rank_mu)
+        c_diag = jnp.maximum(c_diag, np.float32(1e-12))
+        return CmaState(mean=mean, sigma=sigma, c_diag=c_diag,
+                        p_sigma=p_sigma, p_c=p_c, step=state.step + 1)
+
+
+class CmaState(NamedTuple):
+    mean: object
+    sigma: object
+    c_diag: object
+    p_sigma: object
+    p_c: object
+    step: object
+
+
 class OpenAIES:
     """Antithetic OpenAI-ES with centered-rank shaping (Salimans et al. 2017)."""
 

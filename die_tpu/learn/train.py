@@ -42,7 +42,7 @@ class TrainConfig:
     epoch_iters: int = 50
     popsize: int = 10
     envs_per_eval: int = 1
-    searcher: str = "pgpe"  # 'pgpe' | 'openai-es'
+    searcher: str = "pgpe"  # 'pgpe' | 'openai-es' | 'cmaes'
     radius_init: float = 1.5
     center_learning_rate: float = 0.05
     stdev_learning_rate: float = 0.1
@@ -63,6 +63,11 @@ def make_searcher(cfg: TrainConfig, num_params: int):
                     max_speed=max_speed, momentum=0.9)
     if cfg.searcher == "openai-es":
         return OpenAIES(num_params, popsize=cfg.popsize)
+    if cfg.searcher == "cmaes":
+        from die_tpu.learn.es import SepCMAES
+
+        return SepCMAES(num_params, popsize=cfg.popsize,
+                        stdev_init=cfg.radius_init / 15.0)
     raise KeyError(cfg.searcher)
 
 

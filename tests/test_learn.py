@@ -103,3 +103,23 @@ def test_train_resume_matches_uninterrupted(tmp_path):
     assert len(hist) == 2
     for a, b in zip(jax.tree.leaves(full_state), jax.tree.leaves(resumed_state)):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sep_cmaes_optimizes():
+    from die_tpu.learn.es import SepCMAES
+
+    d = 20
+    target = jnp.linspace(-1.0, 1.0, d)
+    searcher = SepCMAES(d, popsize=16, stdev_init=0.3)
+    state = searcher.init(jnp.zeros(d))
+
+    @jax.jit
+    def gen(state, key):
+        pop, z = searcher.ask(state, key)
+        fit = -jnp.sum((pop - target[None, :]) ** 2, axis=1)
+        return searcher.tell(state, z, fit), jnp.max(fit)
+
+    for i in range(250):
+        state, b = gen(state, jr.PRNGKey(i))
+    final = -float(jnp.sum((state.mean - target) ** 2))
+    assert final > -0.05, final
