@@ -259,3 +259,15 @@ class OpenAIES:
             + np.float32(self.lr) * grad
         return EsState(center=state.center + velocity, stdev=state.stdev,
                        velocity=velocity, step=state.step + 1)
+
+
+def es_center(state):
+    """Searcher-agnostic center/mean accessor."""
+    return state.center if hasattr(state, "center") else state.mean
+
+
+def es_spread(state):
+    """Searcher-agnostic per-parameter search spread."""
+    if hasattr(state, "stdev"):
+        return state.stdev
+    return state.sigma * jnp.sqrt(state.c_diag)

@@ -30,7 +30,8 @@ from jax.flatten_util import ravel_pytree
 from die_tpu.core import channels as ch
 from die_tpu.core.config import Dynamics
 from die_tpu.core.init import init_env_state
-from die_tpu.learn.es import EsState, OpenAIES, PGPE
+from die_tpu.learn.es import (EsState, OpenAIES, PGPE,
+                               es_center, es_spread)
 from die_tpu.parallel.rollout import rollout
 
 
@@ -105,7 +106,7 @@ def build_generation_step(dynamics: Dynamics, policy, cfg: TrainConfig,
             "best": jnp.max(fitnesses),
             "mean": jnp.mean(fitnesses),
             "worst": jnp.min(fitnesses),
-            "stdev_mean": jnp.mean(es_state.stdev),
+            "stdev_mean": jnp.mean(es_spread(es_state)),
         }
         return es_state, metrics
 
@@ -143,7 +144,7 @@ def train(dynamics: Dynamics, policy, cfg: TrainConfig,
     master = jr.PRNGKey(cfg.seed)
     history = []
     best_fit = -np.inf
-    best_center = np.asarray(es_state.center)
+    best_center = np.asarray(es_center(es_state))
     t_start = time.time()
     for epoch in range(start_epoch, cfg.epochs):
         es_state, metrics = gen_step(es_state, jr.fold_in(master, epoch))
@@ -153,7 +154,7 @@ def train(dynamics: Dynamics, policy, cfg: TrainConfig,
         history.append(m)
         if m["best"] > best_fit:
             best_fit = m["best"]
-            best_center = np.asarray(es_state.center)
+            best_center = np.asarray(es_center(es_state))
         if log_fn is not None:
             log_fn(epoch, m)
         if checkpoint_dir and checkpoint_every and \

@@ -123,3 +123,15 @@ def test_sep_cmaes_optimizes():
         state, b = gen(state, jr.PRNGKey(i))
     final = -float(jnp.sum((state.mean - target) ** 2))
     assert final > -0.05, final
+
+
+def test_train_with_cmaes_smoke():
+    from die_tpu.core.config import Dynamics
+
+    dyn = Dynamics(init_agent_ratio=0.2, food_infinite=True)
+    policy = NCAPolicy(scale=0.01, deposit=2.0, kernel_sizes=(3,))
+    cfg = TrainConfig(field_size=(12, 12), max_agents=64, epochs=2,
+                      epoch_iters=4, popsize=6, seed=4, searcher="cmaes")
+    best_params, es_state, history = train(dyn, policy, cfg)
+    assert len(history) == 2
+    assert all(np.isfinite(h["best"]) for h in history)
