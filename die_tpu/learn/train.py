@@ -10,9 +10,8 @@ XLA-inserted collective).
 Unlike the reference — which reuses one mutable env across evaluations so
 fitness is path-dependent (learning_agents.py:29-37, noted in SURVEY §3-D) —
 each evaluation here gets a freshly initialized env from a per-generation
-key, which makes fitnesses reproducible and comparable.  Set
-``reuse_env=True`` to carry env state across generations (the reference's
-behavior) where the path-dependence is wanted.
+key, which makes fitnesses reproducible and comparable (the reference's
+own roadmap flags its env reuse as a hazard).
 """
 from __future__ import annotations
 
@@ -49,7 +48,6 @@ class TrainConfig:
     stdev_learning_rate: float = 0.1
     max_speed: float = 0.1
     seed: int = 0
-    reuse_env: bool = False
 
 
 def make_searcher(cfg: TrainConfig, num_params: int):
