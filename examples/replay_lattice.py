@@ -1,0 +1,76 @@
+"""Replay a trained lattice policy and record it — the reference's
+"run the best solution with a plotter" step (examples/learning_agents.py:103-107)
+for the production engine."""
+from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+
+import matplotlib
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+
+from die_tpu.fast.config import FastDynamics
+from die_tpu.fast.init import fast_init_jax
+from die_tpu.fast.learned import learned_fast_rollout
+from die_tpu.fast.nca import ConvTurnParams, conv_nca_rollout
+from die_tpu.fast.render_adapter import make_fast_render_fn
+from die_tpu.render.plotting import InteractivePlotter, render_animation
+from die_tpu.render.renderer import EnvRenderer
+
+
+def load_params(path):
+    data = np.load(path)
+    if "params" in data:
+        return "linear", jnp.asarray(data["params"])
+    return "conv", ConvTurnParams(conv=jnp.asarray(data["conv"]),
+                                  head=jnp.asarray(data["head"]))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("checkpoint", help=".npz from examples/train_lattice.py")
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--steps-per-frame", type=int, default=2)
+    ap.add_argument("--out", default="replay.gif")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    matplotlib.use("Agg")
+    kind, params = load_params(args.checkpoint)
+    dyn = FastDynamics(init_agent_ratio=0.15, food_infinite=True)
+    size = (args.size, args.size)
+    holder = {"state": fast_init_jax(jr.PRNGKey(args.seed), size, dyn)}
+    roll_key = jr.PRNGKey(args.seed + 1)
+
+    if kind == "linear":
+        roll = lambda s, t: learned_fast_rollout(  # noqa: E731
+            dyn, params, s, roll_key, args.steps_per_frame, t)
+    else:
+        roll = lambda s, t: conv_nca_rollout(  # noqa: E731
+            dyn, params, s, roll_key, args.steps_per_frame, t)
+    step = jax.jit(roll)
+
+    total = {"reward": 0.0}
+
+    def frame_step(i):
+        s, rewards, _ = step(holder["state"],
+                             jnp.int32(i * args.steps_per_frame))
+        holder["state"] = s
+        total["reward"] += float(np.asarray(rewards).sum())
+
+    renderer = EnvRenderer(size)
+    plotter = InteractivePlotter.get(
+        make_fast_render_fn(lambda: holder["state"], renderer), ion=False)
+    render_animation(frame_step, plotter, args.out, num_frames=args.frames)
+    print(f"wrote {args.out}; total reward {total['reward']:.3f}")
+
+
+if __name__ == "__main__":
+    main()
