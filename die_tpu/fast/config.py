@@ -36,6 +36,10 @@ class FastDynamics:
     sense_dist: int = 3
     # movement
     randomize_on_block: bool = True
+    # conflict resolution: per-cell random priority rotation (default) or a
+    # cheaper per-step scalar rotation (saves ~10%% of kernel passes; ties
+    # are then broken identically across the field within one step)
+    per_cell_priority: bool = True
     # deposit: chem += deposit_coef * env_food * (1 if moved else idle_deposit)
     deposit_coef: float = 4.0
     idle_deposit: float = 0.1

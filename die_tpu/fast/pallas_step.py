@@ -59,6 +59,12 @@ def _threefry_bits_2d(k0, k1, shape):
     return x0 ^ x1
 
 
+def _kernel_prio_rot(k0, k1):
+    from die_tpu.core.rng import murmur_finalize
+
+    return murmur_finalize(k0 ^ k1 ^ np.uint32(0x9E3779B9))
+
+
 def _kernel_bits(dyn, k0, k1, shape):
     if dyn.rng_kind == "murmur":
         from die_tpu.core.rng import murmur_finalize
@@ -76,8 +82,9 @@ def _step_kernel(dyn: FastDynamics, keys_ref, flow_ref, occ_ref, dir_ref,
                  afood_ref, efood_ref, chem_ref, occ_o, dir_o, afood_o,
                  efood_o, chem_o, reward_o, num_o, flow_o):
     shape = occ_ref.shape
-    bits = FastStepBits(rand=_kernel_bits(dyn, keys_ref[0], keys_ref[1],
-                                          shape))
+    bits = FastStepBits(
+        rand=_kernel_bits(dyn, keys_ref[0], keys_ref[1], shape),
+        prio_rot=_kernel_prio_rot(keys_ref[0], keys_ref[1]))
     state = FastEnvState(occ=occ_ref[:], dir=dir_ref[:],
                          agent_food=afood_ref[:], env_food=efood_ref[:],
                          chem=chem_ref[:], flow_step=flow_ref[0, 0])
@@ -140,8 +147,9 @@ def _multi_step_kernel(dyn: FastDynamics, num_inner: int, keys_ref, flow_ref,
 
     def body(k, carry):
         occ, dirf, afood, efood, chem, flow_step = carry
-        bits = FastStepBits(rand=_kernel_bits(dyn, keys_ref[k, 0],
-                                              keys_ref[k, 1], shape))
+        bits = FastStepBits(
+            rand=_kernel_bits(dyn, keys_ref[k, 0], keys_ref[k, 1], shape),
+            prio_rot=_kernel_prio_rot(keys_ref[k, 0], keys_ref[k, 1]))
         state = FastEnvState(occ=occ, dir=dirf, agent_food=afood,
                              env_food=efood, chem=chem,
                              flow_step=flow_step)

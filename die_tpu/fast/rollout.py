@@ -12,12 +12,24 @@ from die_tpu.fast.config import FastDynamics
 from die_tpu.fast.env import FastEnvState, FastStepBits, fast_step
 
 
+_PRIO_SALT = np.uint32(0x9E3779B9)
+
+
+def _np_prio_rot(k_t: np.ndarray) -> np.uint32:
+    from die_tpu.core.rng import murmur_finalize
+
+    with np.errstate(over="ignore"):
+        return murmur_finalize(np.uint32(k_t[0]) ^ np.uint32(k_t[1])
+                               ^ _PRIO_SALT)
+
+
 def np_step_bits(dyn: FastDynamics, rollout_key: np.ndarray, t: int,
                  shape) -> FastStepBits:
     k_t = np_fold_in(rollout_key, t)
+    rot = _np_prio_rot(k_t)
     if dyn.rng_kind == "murmur":
-        return FastStepBits(rand=np_murmur_bits(k_t, shape))
-    return FastStepBits(rand=np_random_bits(k_t, shape))
+        return FastStepBits(rand=np_murmur_bits(k_t, shape), prio_rot=rot)
+    return FastStepBits(rand=np_random_bits(k_t, shape), prio_rot=rot)
 
 
 def oracle_fast_rollout(dyn: FastDynamics, state: FastEnvState,
@@ -52,10 +64,14 @@ def jax_step_bits(dyn: FastDynamics, rollout_key, t, shape) -> FastStepBits:
     import jax.numpy as jnp
     import jax.random as jr
 
+    from die_tpu.core.rng import murmur_finalize
+
     k_t = jr.fold_in(rollout_key, t)
+    kw = jnp.asarray(k_t, jnp.uint32)
+    rot = murmur_finalize(kw[0] ^ kw[1] ^ _PRIO_SALT)
     if dyn.rng_kind == "murmur":
-        return FastStepBits(rand=jax_murmur_bits(k_t, shape))
-    return FastStepBits(rand=jr.bits(k_t, shape, jnp.uint32))
+        return FastStepBits(rand=jax_murmur_bits(k_t, shape), prio_rot=rot)
+    return FastStepBits(rand=jr.bits(k_t, shape, jnp.uint32), prio_rot=rot)
 
 
 def fast_rollout(dyn: FastDynamics, state: FastEnvState, rollout_key,

@@ -159,3 +159,27 @@ def test_four_direction_lattice():
     # population conserved, agents move
     assert o_num[-1] == int(st_np.occ.sum())
     assert not np.array_equal(st_np.occ, o_state.occ)
+
+
+def test_per_step_priority_variant():
+    dyn = FastDynamics(per_cell_priority=False)
+    st_np = fast_init_np(np_key(21), SIZE, dyn)
+    st_j = fast_init_jax(jr.PRNGKey(21), SIZE, dyn)
+    o_state, o_rew, o_num = oracle_fast_rollout(dyn, st_np, np_key(22), 10)
+    j_state, j_rew, j_num = jax.jit(
+        lambda s: fast_rollout(dyn, s, jr.PRNGKey(22), 10))(st_j)
+    assert np.array_equal(o_rew, np.asarray(j_rew))
+    assert np.array_equal(o_state.occ, np.asarray(j_state.occ))
+    assert o_num[-1] == int(st_np.occ.sum())  # conservation holds
+
+
+def test_per_step_priority_pallas_interpret():
+    from die_tpu.fast.pallas_step import pallas_fast_rollout
+
+    dyn = FastDynamics(per_cell_priority=False)
+    st = fast_init_jax(jr.PRNGKey(23), (8, 128), dyn)
+    ref = jax.jit(lambda s: fast_rollout(dyn, s, jr.PRNGKey(24), 4))(st)
+    pal = jax.jit(lambda s: pallas_fast_rollout(dyn, s, jr.PRNGKey(24), 4,
+                                                interpret=True))(st)
+    assert np.array_equal(np.asarray(ref[1]), np.asarray(pal[1]))
+    assert np.array_equal(np.asarray(ref[0].occ), np.asarray(pal[0].occ))
