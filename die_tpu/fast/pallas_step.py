@@ -84,7 +84,8 @@ def _step_kernel(dyn: FastDynamics, keys_ref, flow_ref, occ_ref, dir_ref,
     shape = occ_ref.shape
     bits = FastStepBits(
         rand=_kernel_bits(dyn, keys_ref[0], keys_ref[1], shape),
-        prio_rot=_kernel_prio_rot(keys_ref[0], keys_ref[1]))
+        prio_rot=None if dyn.per_cell_priority
+        else _kernel_prio_rot(keys_ref[0], keys_ref[1]))
     state = FastEnvState(occ=occ_ref[:], dir=dir_ref[:],
                          agent_food=afood_ref[:], env_food=efood_ref[:],
                          chem=chem_ref[:], flow_step=flow_ref[0, 0])
@@ -149,7 +150,8 @@ def _multi_step_kernel(dyn: FastDynamics, num_inner: int, keys_ref, flow_ref,
         occ, dirf, afood, efood, chem, flow_step = carry
         bits = FastStepBits(
             rand=_kernel_bits(dyn, keys_ref[k, 0], keys_ref[k, 1], shape),
-            prio_rot=_kernel_prio_rot(keys_ref[k, 0], keys_ref[k, 1]))
+            prio_rot=None if dyn.per_cell_priority
+            else _kernel_prio_rot(keys_ref[k, 0], keys_ref[k, 1]))
         state = FastEnvState(occ=occ, dir=dirf, agent_food=afood,
                              env_food=efood, chem=chem,
                              flow_step=flow_step)

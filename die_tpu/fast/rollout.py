@@ -26,7 +26,7 @@ def _np_prio_rot(k_t: np.ndarray) -> np.uint32:
 def np_step_bits(dyn: FastDynamics, rollout_key: np.ndarray, t: int,
                  shape) -> FastStepBits:
     k_t = np_fold_in(rollout_key, t)
-    rot = _np_prio_rot(k_t)
+    rot = None if dyn.per_cell_priority else _np_prio_rot(k_t)
     if dyn.rng_kind == "murmur":
         return FastStepBits(rand=np_murmur_bits(k_t, shape), prio_rot=rot)
     return FastStepBits(rand=np_random_bits(k_t, shape), prio_rot=rot)
@@ -67,8 +67,10 @@ def jax_step_bits(dyn: FastDynamics, rollout_key, t, shape) -> FastStepBits:
     from die_tpu.core.rng import murmur_finalize
 
     k_t = jr.fold_in(rollout_key, t)
-    kw = jnp.asarray(k_t, jnp.uint32)
-    rot = murmur_finalize(kw[0] ^ kw[1] ^ _PRIO_SALT)
+    rot = None
+    if not dyn.per_cell_priority:
+        kw = jnp.asarray(k_t, jnp.uint32)
+        rot = murmur_finalize(kw[0] ^ kw[1] ^ _PRIO_SALT)
     if dyn.rng_kind == "murmur":
         return FastStepBits(rand=jax_murmur_bits(k_t, shape), prio_rot=rot)
     return FastStepBits(rand=jr.bits(k_t, shape, jnp.uint32), prio_rot=rot)
