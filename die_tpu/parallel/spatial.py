@@ -105,3 +105,27 @@ def shard_field_state(mesh: Mesh, state: FastEnvState, axis: str = "space"):
         chem=jax.device_put(state.chem, sharding),
         flow_step=jax.device_put(state.flow_step, scalar),
     )
+
+
+def spatial_fast_rollout(dyn: FastDynamics, mesh: Mesh, state: FastEnvState,
+                         rollout_key, num_steps: int, t0: int = 0,
+                         axis: str = "space"):
+    """Scan the halo-exchange sharded step over ``num_steps`` (jit this).
+
+    Per-step bits are generated from the global counter grid; XLA shards the
+    generation to match the field layout, so trajectories are bitwise
+    identical to the unsharded rollout."""
+    from die_tpu.fast.rollout import jax_step_bits
+
+    step = make_spatial_fast_step(dyn, mesh, axis=axis)
+    shape = state.occ.shape
+
+    def body(carry, t):
+        st = carry
+        bits = jax_step_bits(dyn, rollout_key, t, shape)
+        st, reward, num = step(st, bits)
+        return st, (reward, num)
+
+    state, (rewards, nums) = jax.lax.scan(body, state,
+                                          jnp.arange(num_steps) + t0)
+    return state, rewards, nums

@@ -55,3 +55,22 @@ def test_spatial_guards():
     with pytest.raises(NotImplementedError):
         make_spatial_fast_step(FastDynamics(flow=FlowConfig(kind="wave")),
                                mesh)
+
+
+def test_spatial_rollout_bitwise():
+    from die_tpu.fast.rollout import fast_rollout
+    from die_tpu.parallel.spatial import spatial_fast_rollout
+
+    dyn = FastDynamics()
+    mesh = env_mesh(axis="space")
+    state = fast_init_jax(jr.PRNGKey(5), SIZE, dyn)
+    ref_state, ref_rew, ref_num = jax.jit(
+        lambda s: fast_rollout(dyn, s, jr.PRNGKey(6), 6))(state)
+    sp_state, sp_rew, sp_num = jax.jit(
+        lambda s: spatial_fast_rollout(dyn, mesh, s, jr.PRNGKey(6), 6)
+    )(shard_field_state(mesh, state))
+    assert np.array_equal(np.asarray(ref_num), np.asarray(sp_num))
+    for name, a, b in zip(ref_state._fields, ref_state, sp_state):
+        if name == "flow_step":
+            continue
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
