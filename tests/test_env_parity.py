@@ -165,3 +165,28 @@ def test_terminated_on_extinction():
                                                            jnp.asarray(action))
     assert bool(jinfo.terminated) and int(jinfo.num_agents) == 0
     assert_state_equal(js2, os2, "extinction")
+
+
+@pytest.mark.parametrize("dyn", [Dynamics(agents_die=True)])
+def test_exact_engine_extinction_path(dyn):
+    """Starvation run: population must shrink monotonically to extinction and
+    the terminated flag must fire, with invariants held throughout."""
+    from die_tpu.oracle.agents import OracleConstAgent
+    from die_tpu.utils.invariants import check_env_state
+
+    dyn = Dynamics(agents_die=True, rate_feed=0.0,
+                   cost_weight_dist=5.0, init_agent_ratio=0.2)
+    os_ = oracle_init_state(np_key(44), (12, 12), dyn, 144)
+    agent = OracleConstAgent((0.01, 0.01), deposit=0.0)
+    prev = 10**9
+    terminated = False
+    for t in range(60):
+        action = agent.forward((os_.agents, os_.medium), None)
+        os_, _, info = oracle_env_step(dyn, os_, action)
+        assert check_env_state(os_) == [], t
+        assert info["num_agents"] <= prev
+        prev = info["num_agents"]
+        if info["terminated"]:
+            terminated = True
+            break
+    assert terminated and prev == 0

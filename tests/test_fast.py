@@ -183,3 +183,19 @@ def test_per_step_priority_pallas_interpret():
                                                 interpret=True))(st)
     assert np.array_equal(np.asarray(ref[1]), np.asarray(pal[1]))
     assert np.array_equal(np.asarray(ref[0].occ), np.asarray(pal[0].occ))
+
+
+@pytest.mark.slow
+def test_long_rollout_invariants():
+    from die_tpu.utils.invariants import check_fast_state
+
+    for dyn in [FastDynamics(agents_die=True),
+                FastDynamics(num_dirs=4, food_infinite=True),
+                FastDynamics(per_cell_priority=False)]:
+        st = fast_init_np(np_key(33), SIZE, dyn)
+        st, _, nums = oracle_fast_rollout(dyn, st, np_key(34), 200)
+        assert check_fast_state(st) == [], dyn
+        if not dyn.agents_die:
+            assert nums[-1] == nums[0]
+        else:
+            assert nums[-1] <= nums[0]
