@@ -41,6 +41,29 @@ def plot_init(field_size=(128, 128), seed=0, out=None):
         plt.show()
 
 
+def plot_perlin_flow(field_size=(128, 128), frames=4, out=None):
+    """Twin of examples/plot_perlin_noise.py: the time-varying Perlin food
+    flow at several time steps."""
+    import jax
+    import matplotlib.pyplot as plt
+
+    from die_tpu.ops.waves import perlin_flow_field
+
+    flow = FlowConfig(kind="perlin", octaves=6, dt=0.02, seed=3)
+    field = jax.jit(lambda s: perlin_flow_field(flow, field_size, s))
+    fig, axs = plt.subplots(1, frames, figsize=(4 * frames, 4))
+    for i, ax in enumerate(np.atleast_1d(axs)):
+        ax.imshow(np.asarray(field(jnp.int32(i * 20))), cmap="viridis")
+        ax.set_title(f"perlin flow F(t_{i * 20})")
+        ax.axis("off")
+    fig.tight_layout()
+    if out:
+        fig.savefig(out, dpi=100)
+        print(f"wrote {out}")
+    else:
+        plt.show()
+
+
 def plot_waves(field_size=(128, 128), frames=4, out=None):
     import matplotlib.pyplot as plt
 
@@ -67,11 +90,14 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
     ap.add_argument("--waves", action="store_true")
+    ap.add_argument("--perlin", action="store_true")
     ap.add_argument("--headless", action="store_true")
     args = ap.parse_args()
     if args.headless or args.out:
         matplotlib.use("Agg")
     if args.waves:
         plot_waves(out=args.out)
+    elif args.perlin:
+        plot_perlin_flow(out=args.out)
     else:
         plot_init(out=args.out)
