@@ -190,3 +190,22 @@ def test_exact_engine_extinction_path(dyn):
             terminated = True
             break
     assert terminated and prev == 0
+
+
+def test_manual_step_composes_to_env_step():
+    """The substep-by-substep debug harness (examples/simple_agents.manual_step,
+    the reference's _manual_step twin) must reproduce env_step exactly."""
+    import sys
+    sys.path.insert(0, ".")
+    from examples.simple_agents import manual_step
+
+    dyn, js, _ = make_states(seed=13)
+    action = jnp.asarray(random_action(55, js.agents.shape[-1]))
+    ref_state, _ = jax.jit(lambda s, a: env_step(dyn, s, a))(js, action)
+    man_state, stages = jax.jit(lambda s, a: manual_step(dyn, s, a))(js, action)
+    assert set(stages) == {"move", "deposit", "feed", "lifecycle", "flow",
+                           "diffuse"}
+    assert np.array_equal(np.asarray(ref_state.medium),
+                          np.asarray(man_state.medium))
+    assert np.array_equal(np.asarray(ref_state.agents),
+                          np.asarray(man_state.agents))
