@@ -51,6 +51,12 @@ class FastDynamics:
     # lifecycle
     agents_die: bool = False
     death_threshold: float = 1e-4
+    # reproduction — the reference leaves agents_born as a TODO
+    # (core/env.py:256-261); the lattice engine implements it: an agent with
+    # agent_food > birth_threshold spawns a child into one empty neighbor
+    # (same pull-based conflict resolution as movement), splitting its food
+    agents_born: bool = False
+    birth_threshold: float = 1.0
     # chem field
     rate_decay_chem: float = 0.1
     diffuse_sigma: float = 0.5

@@ -199,3 +199,44 @@ def test_long_rollout_invariants():
             assert nums[-1] == nums[0]
         else:
             assert nums[-1] <= nums[0]
+
+
+def test_agents_born():
+    """Reproduction: population grows under abundance; agent_food mass is
+    conserved through births (split, not created); parity holds."""
+    dyn = FastDynamics(agents_born=True, birth_threshold=0.5,
+                       food_infinite=True, rate_feed=0.3,
+                       deposit_coef=0.0, idle_deposit=0.0, cost_move=0.0,
+                       init_agent_ratio=0.05)
+    st_np = fast_init_np(np_key(50), SIZE, dyn)
+    st_j = fast_init_jax(jr.PRNGKey(50), SIZE, dyn)
+    n0 = int(st_np.occ.sum())
+
+    # parity over a rollout
+    o_state, o_rew, o_num = oracle_fast_rollout(dyn, st_np, np_key(51), 12)
+    j_state, j_rew, j_num = jax.jit(
+        lambda s: fast_rollout(dyn, s, jr.PRNGKey(51), 12))(st_j)
+    assert np.array_equal(o_rew, np.asarray(j_rew))
+    assert np.array_equal(o_state.occ, np.asarray(j_state.occ))
+    assert np.array_equal(o_state.agent_food, np.asarray(j_state.agent_food))
+
+    # population grew
+    assert o_num[-1] > n0
+    # occupancy still binary; dirs valid
+    from die_tpu.utils.invariants import check_fast_state
+
+    assert check_fast_state(o_state) == []
+
+    # food-mass conservation through a single birth step (no feed/cost):
+    dyn0 = FastDynamics(agents_born=True, birth_threshold=0.5,
+                        rate_feed=0.0, deposit_coef=0.0, idle_deposit=0.0,
+                        cost_move=0.0, food_infinite=True,
+                        init_agent_ratio=0.1)
+    st = fast_init_np(np_key(52), SIZE, dyn0)
+    from die_tpu.fast.rollout import np_step_bits
+    from die_tpu.fast.env import fast_step
+
+    mass0 = float(st.agent_food.sum())
+    st2, _, _ = fast_step(dyn0, st, np_step_bits(dyn0, np_key(53), 0,
+                                                 st.occ.shape))
+    assert float(st2.agent_food.sum()) == pytest.approx(mass0, rel=1e-5)
