@@ -23,16 +23,27 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-_USE_MXU = False
+_USE_MXU = None  # None = auto: on for TPU backends, off elsewhere
 
 
-def use_mxu_gather(enabled: bool) -> None:
-    """Route ``core.env.gather_field`` through the MXU formulation."""
+def use_mxu_gather(enabled) -> None:
+    """Route ``core.env.gather_field`` through the MXU formulation.
+
+    ``True``/``False`` force; ``None`` restores auto (TPU only — measured
+    8.8 ns/elem vs 16.7 for jnp.take on v5e; on CPU the native gather wins).
+    """
     global _USE_MXU
-    _USE_MXU = bool(enabled)
+    _USE_MXU = enabled if enabled is None else bool(enabled)
 
 
 def mxu_gather_enabled() -> bool:
+    if _USE_MXU is None:
+        try:
+            import jax
+
+            return jax.default_backend() == "tpu"
+        except Exception:
+            return False
     return _USE_MXU
 
 

@@ -32,13 +32,14 @@ def test_engine_trajectory_identical_with_mxu_gather():
         return jax.jit(lambda s, p: rollout(dyn, policy, None, s, p,
                                             jr.PRNGKey(3), 8))(state, pstate)
 
-    ref = run()
-    use_mxu_gather(True)
+    use_mxu_gather(False)
     try:
+        ref = run()
+        use_mxu_gather(True)
         jax.clear_caches()
         alt = run()
     finally:
-        use_mxu_gather(False)
+        use_mxu_gather(None)  # restore auto (TPU-only default)
         jax.clear_caches()
     assert np.array_equal(np.asarray(ref.rewards), np.asarray(alt.rewards))
     assert np.array_equal(np.asarray(ref.state.agents),
