@@ -24,6 +24,7 @@ import jax.random as jr
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from die_tpu.core.mathx import set_pallas_trace
 from die_tpu.fast.config import FastDynamics
 from die_tpu.fast.env import FastEnvState, FastStepBits, fast_step
 
@@ -81,6 +82,18 @@ def _kernel_bits(dyn, k0, k1, shape):
 def _step_kernel(dyn: FastDynamics, keys_ref, flow_ref, occ_ref, dir_ref,
                  afood_ref, efood_ref, chem_ref, occ_o, dir_o, afood_o,
                  efood_o, chem_o, reward_o, num_o, flow_o):
+    prev = set_pallas_trace(True)  # Mosaic-native rotates for xroll
+    try:
+        _step_kernel_body(dyn, keys_ref, flow_ref, occ_ref, dir_ref,
+                          afood_ref, efood_ref, chem_ref, occ_o, dir_o,
+                          afood_o, efood_o, chem_o, reward_o, num_o, flow_o)
+    finally:
+        set_pallas_trace(prev)
+
+
+def _step_kernel_body(dyn: FastDynamics, keys_ref, flow_ref, occ_ref, dir_ref,
+                      afood_ref, efood_ref, chem_ref, occ_o, dir_o, afood_o,
+                      efood_o, chem_o, reward_o, num_o, flow_o):
     shape = occ_ref.shape
     bits = FastStepBits(
         rand=_kernel_bits(dyn, keys_ref[0], keys_ref[1], shape),
@@ -144,6 +157,20 @@ def _multi_step_kernel(dyn: FastDynamics, num_inner: int, keys_ref, flow_ref,
                        num_o, flow_o):
     """K fused steps with state resident in VMEM across all of them — HBM
     sees one read + one write of the five fields per K steps."""
+    prev = set_pallas_trace(True)  # Mosaic-native rotates for xroll
+    try:
+        _multi_step_kernel_body(dyn, num_inner, keys_ref, flow_ref, occ_ref,
+                                dir_ref, afood_ref, efood_ref, chem_ref,
+                                occ_o, dir_o, afood_o, efood_o, chem_o,
+                                reward_o, num_o, flow_o)
+    finally:
+        set_pallas_trace(prev)
+
+
+def _multi_step_kernel_body(dyn: FastDynamics, num_inner: int, keys_ref,
+                            flow_ref, occ_ref, dir_ref, afood_ref, efood_ref,
+                            chem_ref, occ_o, dir_o, afood_o, efood_o, chem_o,
+                            reward_o, num_o, flow_o):
     shape = occ_ref.shape
 
     def body(k, carry):

@@ -23,7 +23,7 @@ from functools import lru_cache
 
 import numpy as np
 
-from die_tpu.core.mathx import xp_of
+from die_tpu.core.mathx import xp_of, xroll
 
 
 @lru_cache(maxsize=None)
@@ -43,7 +43,7 @@ def _axis_pass_wrap(field, taps, axis: int):
     for k, w in enumerate(taps):
         offset = k - radius  # tap at f[i + offset]
         # zero-shift roll lowers to a 0-sized slice in Mosaic — skip it
-        shifted = xp.roll(field, -offset, axis=axis) if offset else field
+        shifted = xroll(xp, field, -offset, axis) if offset else field
         term = w * shifted
         acc = term if acc is None else acc + term
     return acc
