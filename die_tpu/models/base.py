@@ -46,6 +46,38 @@ def postprocess_action(agents, action):
     return action * alive[None, :]
 
 
+class CallableModelPolicy:
+    """Generic model-driven policy — the completed twin of the reference's
+    ``ModelAgentSket`` stub (core/agent/learning.py:7-20): wrap an arbitrary
+    callable ``model(obs) -> action`` as a Policy, applying the alive-mask
+    postprocess the sketch intended (the step the reference left as TODO).
+
+    ``model`` receives ``obs = (agents, medium)`` and returns a (3, N)
+    action array; anything jittable works (a closure, a flax apply, ...).
+    Not JSON-serializable (the model is arbitrary code) — mirror of the
+    reference stub's ``model=None`` limitation, minus the crash.
+    """
+
+    def __init__(self, model=None):
+        self.model = model
+
+    def init_params(self):
+        return {}
+
+    def init_state(self, key):
+        return None
+
+    def init_model_params(self, key):
+        return None
+
+    def forward(self, params, pstate, obs, key):
+        agents, _medium = obs
+        if self.model is None:
+            raise ValueError("CallableModelPolicy needs a model callable")
+        action = self.model(obs)
+        return postprocess_action(agents, action), pstate
+
+
 class Policy:
     """Base policy.  Subclasses define ``init_state`` and ``forward``."""
 

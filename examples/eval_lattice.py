@@ -1,0 +1,96 @@
+"""Held-out evaluation of lattice policies: trained checkpoint vs the
+untrained init vs the hand-coded Jones rule.
+
+The reference never quantifies learning efficacy (its training loop replays
+the best solution visually, examples/learning_agents.py:103-107); this is
+the quantitative twin used for the roadmap's learning-efficacy ledger:
+mean episode reward over fresh held-out seeds, identical env/config for
+every policy.
+"""
+from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import json
+
+import numpy as np
+
+try:
+    from die_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+except Exception:
+    pass
+
+import jax
+
+if _os.environ.get("DIE_TPU_CPU"):  # force CPU (env var alone is too late)
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import jax.random as jr
+
+from die_tpu.fast.config import FastDynamics
+from die_tpu.fast.init import fast_init_jax
+from die_tpu.fast.learned import init_turn_params, learned_fast_rollout
+from die_tpu.fast.nca import ConvTurnParams, conv_nca_rollout
+from die_tpu.fast.rollout import fast_rollout
+
+
+def load_params(path):
+    data = np.load(path)
+    if "params" in data:
+        return "linear", jnp.asarray(data["params"])
+    return "conv", ConvTurnParams(conv=jnp.asarray(data["conv"]),
+                                  head=jnp.asarray(data["head"]))
+
+
+def mean_heldout_reward(dyn, roll_fn, size, num_seeds, steps, seed0=10_000):
+    """Mean total episode reward over ``num_seeds`` fresh envs (vmapped)."""
+
+    def one(i):
+        state = fast_init_jax(jr.fold_in(jr.PRNGKey(seed0), i),
+                              (size, size), dyn)
+        _, rewards, _ = roll_fn(state, jr.fold_in(jr.PRNGKey(seed0 + 1), i))
+        return jnp.sum(rewards)
+
+    totals = jax.jit(jax.vmap(one))(jnp.arange(num_seeds))
+    return float(np.asarray(jnp.mean(totals)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", default=None,
+                    help=".npz from examples/train_lattice.py")
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--seeds", type=int, default=32)
+    ap.add_argument("--seed0", type=int, default=10_000,
+                    help="base of the held-out seed block")
+    args = ap.parse_args()
+
+    dyn = FastDynamics(init_agent_ratio=0.15, food_infinite=True)
+    T = args.steps
+
+    out = {}
+    out["jones"] = mean_heldout_reward(
+        dyn, lambda s, k: fast_rollout(dyn, s, k, T),
+        args.size, args.seeds, T, args.seed0)
+    untrained = init_turn_params(jr.PRNGKey(0))
+    out["untrained_linear"] = mean_heldout_reward(
+        dyn, lambda s, k: learned_fast_rollout(dyn, untrained, s, k, T),
+        args.size, args.seeds, T, args.seed0)
+    if args.checkpoint:
+        kind, params = load_params(args.checkpoint)
+        roll = (learned_fast_rollout if kind == "linear"
+                else conv_nca_rollout)
+        out[f"trained_{kind}"] = mean_heldout_reward(
+            dyn, lambda s, k: roll(dyn, params, s, k, T),
+            args.size, args.seeds, T, args.seed0)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

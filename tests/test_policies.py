@@ -135,3 +135,26 @@ def test_rule_policy_json_roundtrip(tmp_path):
     p2 = Policy.load(f)
     assert isinstance(p2, PhysarumPolicy)
     assert p2.init_params() == p.init_params()
+
+
+def test_callable_model_policy_masks_dead_slots():
+    """Twin of ModelAgentSket (core/agent/learning.py:7-20), completed:
+    arbitrary callable model + alive-mask postprocess."""
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    from die_tpu.core import channels as ch
+    from die_tpu.core.builder import StateBuilder
+    from die_tpu.models import CallableModelPolicy
+
+    st = (StateBuilder((8, 16), jr.PRNGKey(0)).with_agents(0.3)
+          .with_food_perlin().build_env_state(max_agents=64))
+    pol = CallableModelPolicy(
+        lambda obs: jnp.ones((3, obs[0].shape[1]), jnp.float32))
+    action, pstate = pol.forward(None, None, (st.agents, st.medium),
+                                 jr.PRNGKey(1))
+    assert pstate is None
+    alive = np.asarray(st.agents[ch.CH_AGT_ALIVE] > 0)
+    out = np.asarray(action)
+    assert np.all(out[:, alive] == 1.0)
+    assert np.all(out[:, ~alive] == 0.0)
