@@ -277,3 +277,218 @@ def pallas_fast_rollout(dyn: FastDynamics, state: FastEnvState, rollout_key,
     state, (rewards, nums) = jax.lax.scan(
         body, state, jnp.arange(num_steps) + t0)
     return state, rewards, nums
+
+
+# --------------------------------------------------------------------------
+# Banded kernel for large fields (>= 512x512): the 256x256 whole-field
+# kernel saturates the 16 MB VMEM budget (docs/PERF.md), so bigger fields
+# run a grid over row bands.  Each band DMAs its rows + a halo of
+# halo_radius(dyn) rows (torus wrap) from HBM, runs the identical step body
+# on the padded block, and writes back the center.  State fields are bitwise
+# identical to the unsharded step (same argument as parallel/spatial.py:
+# the halo covers one step's influence radius); the per-step reward is
+# reduced band-wise (documented fp32 order divergence, as in the spatial
+# path).
+
+
+def _global_rows(shape, row0, total_rows):
+    """u32 global row index per padded-block cell: (iota + row0) mod W."""
+    row = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + row0
+    return jnp.where(row >= np.uint32(total_rows),
+                     row - np.uint32(total_rows), row)
+
+
+def _kernel_bits_banded(dyn, k0, k1, shape, row0, total_rows):
+    """Same bit-fields as _kernel_bits but with global (wrapped) row counts,
+    so banded blocks reproduce the unsharded per-cell streams exactly."""
+    H = shape[1]
+    row = _global_rows(shape, row0, total_rows)
+    col = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    counts = row * np.uint32(H) + col
+    if dyn.rng_kind == "murmur":
+        from die_tpu.core.rng import murmur_finalize
+
+        h = murmur_finalize(counts ^ k0)
+        return murmur_finalize(h ^ k1)
+    # threefry2x32 counter mode on the global counts (hi=0, lo=counts)
+    x1 = counts
+    x0 = jnp.zeros(shape, jnp.uint32)
+    ks0, ks1 = k0, k1
+    ks2 = ks0 ^ ks1 ^ np.uint32(0x1BD11BDA)
+    ks = (ks0, ks1, ks2)
+    x0 = x0 + ks0
+    x1 = x1 + ks1
+    for i in range(5):
+        for r in _ROT[i % 2]:
+            x0 = x0 + x1
+            x1 = _rotl(x1, r)
+            x1 = x1 ^ x0
+        x0 = x0 + ks[(i + 1) % 3]
+        x1 = x1 + ks[(i + 2) % 3] + np.uint32(i + 1)
+    return x0 ^ x1
+
+
+def make_pallas_banded_step(dyn: FastDynamics, field_size, num_bands: int,
+                            batch: int = 1, interpret: bool = False):
+    """Returns jittable ``step(state, site_keys) -> (state, rewards, nums)``
+    for fields too large for the whole-field VMEM kernel, over a lockstep
+    batch of ``batch`` envs.
+
+    State fields are ``f32[batch, W, H]``; ``site_keys`` is ``u32[batch, 2]``
+    (per-env step key, scalar-prefetched).  The grid is (batch, num_bands):
+    each program DMAs its band + halo_radius(dyn) halo rows (torus wrap)
+    from HBM, runs the identical step body on the padded block, and writes
+    back the center.  Returns per-env reward (band-order fp32 fold —
+    documented divergence, as in parallel/spatial.py) and agent counts.
+
+    Requirements: W % num_bands == 0, band height >= halo radius, pow2
+    field sizes >= (8, 128), flow.kind == 'none' (flow_step is untouched
+    when flow is none, so it is carried outside the kernel).
+    """
+    from die_tpu.parallel.spatial import halo_radius
+
+    if dyn.flow.kind != "none":
+        raise NotImplementedError("banded kernel: flow must be 'none' "
+                                  "(wave/perlin flow needs global coords)")
+    W, H = field_size
+    if (W & (W - 1)) or (H & (H - 1)) or W < 8 or H < 128:
+        raise ValueError("banded step needs pow2 field sizes >= (8, 128)")
+    if W % num_bands:
+        raise ValueError("W must divide into num_bands")
+    Wb = W // num_bands
+    # DMA slices must be aligned to the 8-row sublane tiling: round the
+    # halo up to a multiple of 8 (the extra rows are just a wider margin)
+    r = -(-halo_radius(dyn) // 8) * 8
+    if Wb < r:
+        raise ValueError(f"band height {Wb} < (aligned) halo radius {r}")
+    if Wb % 8:
+        raise ValueError(f"band height {Wb} must be a multiple of 8")
+    Wp = Wb + 2 * r
+    B = batch
+
+    def kernel(keys_ref, occ_h, dir_h, afood_h, efood_h, chem_h,
+               occ_o, dir_o, afood_o, efood_o, chem_o, reward_o, num_o,
+               s_occ, s_dir, s_afood, s_efood, s_chem, sems):
+        prev = set_pallas_trace(True)
+        try:
+            e = pl.program_id(0)
+            b = pl.program_id(1)
+            start = pl.multiple_of(b * Wb, 8)
+            top = pl.multiple_of(jax.lax.rem(start - r + W, W), 8)
+            bot = pl.multiple_of(jax.lax.rem(start + Wb, W), 8)
+
+            srcs = (occ_h, dir_h, afood_h, efood_h, chem_h)
+            dsts = (s_occ, s_dir, s_afood, s_efood, s_chem)
+            copies = []
+            for i, (src, dst) in enumerate(zip(srcs, dsts)):
+                for j, (s0, d0, n) in enumerate(
+                        ((top, 0, r), (start, r, Wb), (bot, r + Wb, r))):
+                    c = pltpu.make_async_copy(
+                        src.at[e, pl.ds(s0, n)], dst.at[pl.ds(d0, n)],
+                        sems.at[i * 3 + j])
+                    c.start()
+                    copies.append(c)
+            for c in copies:
+                c.wait()
+
+            shape = (Wp, H)
+            row0 = jnp.asarray(top, jnp.uint32)
+            k0, k1 = keys_ref[e, 0], keys_ref[e, 1]
+            bits = FastStepBits(
+                rand=_kernel_bits_banded(dyn, k0, k1, shape, row0, W),
+                prio_rot=None if dyn.per_cell_priority
+                else _kernel_prio_rot(k0, k1))
+            state = FastEnvState(occ=s_occ[:], dir=s_dir[:],
+                                 agent_food=s_afood[:], env_food=s_efood[:],
+                                 chem=s_chem[:], flow_step=jnp.int32(0))
+            from die_tpu.fast.env import fast_step_full, tree_sum_2d
+
+            new_state, _, _, gained = fast_step_full(dyn, state, bits)
+            sl = slice(r, r + Wb)
+            occ_o[0] = new_state.occ[sl]
+            dir_o[0] = new_state.dir[sl]
+            afood_o[0] = new_state.agent_food[sl]
+            efood_o[0] = new_state.env_food[sl]
+            chem_o[0] = new_state.chem[sl]
+            reward_o[0, b, 0] = tree_sum_2d(jnp, gained[sl])
+            num_o[0, b, 0] = jnp.sum(
+                (new_state.occ[sl] > np.float32(0.0)).astype(jnp.int32))
+        finally:
+            set_pallas_trace(prev)
+
+    field_b = jax.ShapeDtypeStruct((B, W, H), jnp.float32)
+    band_spec = pl.BlockSpec((1, Wb, H), lambda e, b, *_: (e, b, 0),
+                             memory_space=pltpu.VMEM)
+    per_env_spec = pl.BlockSpec((1, num_bands, 1),
+                                lambda e, b, *_: (e, 0, 0),
+                                memory_space=pltpu.SMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, num_bands),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
+        out_specs=(band_spec,) * 5 + (per_env_spec, per_env_spec),
+        scratch_shapes=[pltpu.VMEM((Wp, H), jnp.float32)] * 5
+        + [pltpu.SemaphoreType.DMA((15,))],
+    )
+
+    def step(state: FastEnvState, site_keys):
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(field_b,) * 5 + (
+                jax.ShapeDtypeStruct((B, num_bands, 1), jnp.float32),
+                jax.ShapeDtypeStruct((B, num_bands, 1), jnp.int32)),
+            interpret=interpret,
+        )(site_keys, state.occ, state.dir,
+          state.agent_food, state.env_food, state.chem)
+        occ, dirf, afood, efood, chem, rewards, nums = outs
+        new_state = FastEnvState(occ=occ, dir=dirf, agent_food=afood,
+                                 env_food=efood, chem=chem,
+                                 flow_step=state.flow_step)
+        # band-order reward fold (documented fp32 order divergence vs the
+        # whole-field pinned tree; exact for the int32 agent count)
+        return new_state, jnp.sum(rewards[:, :, 0], axis=1), jnp.sum(
+            nums[:, :, 0], axis=1)
+
+    return step
+
+
+def pallas_banded_rollout(dyn: FastDynamics, state: FastEnvState,
+                          rollout_key, num_steps: int, num_bands: int,
+                          t0: int = 0, interpret: bool = False):
+    """Scan over the banded large-field step, single env (jit this).
+    For lockstep batches use :func:`pallas_banded_rollout_batch`."""
+    batched = FastEnvState(occ=state.occ[None], dir=state.dir[None],
+                           agent_food=state.agent_food[None],
+                           env_food=state.env_food[None],
+                           chem=state.chem[None],
+                           flow_step=state.flow_step)
+    out, rewards, nums = pallas_banded_rollout_batch(
+        dyn, batched, rollout_key[None], num_steps, num_bands, t0=t0,
+        interpret=interpret)
+    return FastEnvState(occ=out.occ[0], dir=out.dir[0],
+                        agent_food=out.agent_food[0],
+                        env_food=out.env_food[0], chem=out.chem[0],
+                        flow_step=out.flow_step), rewards[:, 0], nums[:, 0]
+
+
+def pallas_banded_rollout_batch(dyn: FastDynamics, states: FastEnvState,
+                                rollout_keys, num_steps: int,
+                                num_bands: int, t0: int = 0,
+                                interpret: bool = False):
+    """Scan over the banded step for a lockstep batch: state fields
+    ``[B, W, H]``, ``rollout_keys`` ``u32[B, 2]``.  Returns
+    (states, rewards[T, B], nums[T, B])."""
+    B, W, H = states.occ.shape
+    step = make_pallas_banded_step(dyn, (W, H), num_bands, batch=B,
+                                   interpret=interpret)
+
+    def body(carry, t):
+        st = carry
+        keys = jax.vmap(lambda k: site_keys_for_step(k, t))(rollout_keys)
+        st, rewards, nums = step(st, keys)
+        return st, (rewards, nums)
+
+    states, (rewards, nums) = jax.lax.scan(
+        body, states, jnp.arange(num_steps) + t0)
+    return states, rewards, nums

@@ -5,7 +5,7 @@ axis and each step runs on halo-padded local blocks inside ``shard_map``:
 ring ``ppermute`` exchanges R boundary rows with both neighbors (the torus
 boundary IS the ring), the full lattice step executes on the padded block,
 and the center slice is kept.  R must cover one step's influence radius
-(sense_dist + move 1 + diffusion radius).
+(sense_dist + 2 movement hops + diffusion radius — see halo_radius).
 
 State fields after a sharded step are bitwise identical to the unsharded
 step (verified in tests on the 8-virtual-device CPU mesh).  The per-step
@@ -32,9 +32,17 @@ from die_tpu.ops.gaussian import gaussian_taps
 
 
 def halo_radius(dyn: FastDynamics) -> int:
-    """One step's influence radius: sensing + movement + diffusion."""
+    """One step's influence radius: sensing + movement round-trip + diffusion.
+
+    Movement contributes TWO hops, not one: whether an agent at j moved
+    depends on its target's accepted code (acc at j+-1), which depends on
+    received at j+-1, i.e. on the turn decisions of all of the target's
+    neighbors (j+-2), whose probes reach sense_dist further.  The deposit
+    mask then feeds the diffusion stencil.  A radius of sense_dist+1+G
+    (the old formula) corrupts moved/dep_mask on the outermost interior
+    rows — caught by the banded-kernel bitwise test at step 3."""
     diffuse_r = (len(gaussian_taps(dyn.diffuse_sigma)) - 1) // 2
-    return int(dyn.sense_dist) + 1 + diffuse_r
+    return int(dyn.sense_dist) + 2 + diffuse_r
 
 
 def _exchange_halo(field, r: int, axis_name: str, n: int):

@@ -311,6 +311,47 @@ def rollk():
                     ns_per_roll_traversal=round(per_roll_ns, 1))
 
 
+# ---------------------------------------------- 6. banded large-field kernel
+def banded():
+    from die_tpu.fast.config import FastDynamics
+    from die_tpu.fast.init import fast_init_jax
+    from die_tpu.fast.pallas_step import pallas_banded_rollout_batch
+    from die_tpu.fast.rollout import fast_rollout
+
+    dyn = FastDynamics()
+    for F, bands, B, T in ((1024, 16, 8, 16),):
+        def one(F=F, bands=bands, B=B, T=T):
+            keys = jax.vmap(lambda i: jr.fold_in(jr.PRNGKey(0), i))(
+                jnp.arange(B))
+            states = jax.jit(jax.vmap(
+                lambda k: fast_init_jax(k, (F, F), dyn)))(keys)
+            rkeys = jax.vmap(lambda i: jr.fold_in(jr.PRNGKey(1), i))(
+                jnp.arange(B))
+
+            @jax.jit
+            def run(states, rkeys):
+                _, rew, _ = pallas_banded_rollout_batch(
+                    dyn, states, rkeys, T, num_bands=bands)
+                return jnp.sum(rew)
+
+            best = timed(run, states, rkeys)
+            log(item=f"banded_{F}x{F}_b{bands}", secs=round(best, 4), B=B,
+                T=T, env_steps_per_s=round(B * T / best, 1))
+
+            @jax.jit
+            def run_xla(states, rkeys):
+                roll = lambda s, k: fast_rollout(dyn, s, k, T)  # noqa: E731
+                _, rew, _ = jax.vmap(roll)(states, rkeys)
+                return jnp.sum(rew)
+
+            best2 = timed(run_xla, states, rkeys)
+            log(item=f"xla_{F}x{F}", secs=round(best2, 4), B=B, T=T,
+                env_steps_per_s=round(B * T / best2, 1))
+
+        guard(f"banded_{F}", one)
+
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     log(item="start", which=which)
@@ -323,6 +364,8 @@ if __name__ == "__main__":
         e2e_variants()
     if which in ("all", "rollk"):
         rollk()
+    if which in ("all", "banded"):
+        banded()
     if which in ("all", "gather"):
         guard("mxu_gather", mxu_gather_bench)
     log(item="done", which=which)
