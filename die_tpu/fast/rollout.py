@@ -93,3 +93,42 @@ def fast_rollout(dyn: FastDynamics, state: FastEnvState, rollout_key,
     state, (rewards, nums) = jax.lax.scan(
         body, state, jnp.arange(num_steps) + t0)
     return state, rewards, nums
+
+
+def fast_rollout_auto(dyn: FastDynamics, state: FastEnvState, rollout_key,
+                      num_steps: int, t0: int = 0, num_inner: int = 32,
+                      vmem_budget_cells: int = 256 * 256):
+    """Geometry-aware rollout: picks the fastest available path.
+
+    - whole-field K-step Pallas kernel when the field fits the VMEM budget
+      (pow2 sizes >= (8, 128), flow 'none', num_steps % num_inner == 0);
+    - banded Pallas kernel for larger pow2 fields (2x the XLA path);
+    - the XLA scan otherwise (any geometry / flow).
+    """
+    import jax
+
+    W, H = state.occ.shape
+    pow2_ok = (W & (W - 1)) == 0 and (H & (H - 1)) == 0 and W >= 8 and H >= 128
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and dyn.flow.kind == "none" and pow2_ok:
+        if W * H <= vmem_budget_cells and num_steps % num_inner == 0:
+            from die_tpu.fast.pallas_step import pallas_fast_rollout_multi
+
+            return pallas_fast_rollout_multi(dyn, state, rollout_key,
+                                             num_steps, num_inner=num_inner,
+                                             t0=t0)
+        from die_tpu.parallel.spatial import halo_radius
+
+        r = -(-halo_radius(dyn) // 8) * 8
+        # largest band count whose (pow2) band height stays >= the halo
+        # and keeps the padded block near the VMEM-proven working size
+        bands = 1
+        while (W // (bands * 2)) >= max(r, 8) and \
+                (W // (bands * 2)) * H > vmem_budget_cells // 2:
+            bands *= 2
+        if bands > 1:
+            from die_tpu.fast.pallas_step import pallas_banded_rollout
+
+            return pallas_banded_rollout(dyn, state, rollout_key, num_steps,
+                                         num_bands=bands, t0=t0)
+    return fast_rollout(dyn, state, rollout_key, num_steps, t0=t0)

@@ -101,3 +101,21 @@ def test_vmap_lockstep_equals_sequential():
                               np.asarray(res_1.rewards)), b
         assert np.array_equal(np.asarray(res_b.state.agents[b]),
                               np.asarray(res_1.state.agents)), b
+
+
+def test_fast_rollout_auto_cpu_falls_back_to_xla():
+    """On CPU the auto-selector must use the XLA scan (Pallas needs TPU)."""
+    import jax.random as jr
+
+    from die_tpu.fast.config import FastDynamics
+    from die_tpu.fast.init import fast_init_jax
+    from die_tpu.fast.rollout import fast_rollout, fast_rollout_auto
+
+    dyn = FastDynamics()
+    st = fast_init_jax(jr.PRNGKey(0), (512, 128), dyn)
+    a_state, a_rew, _ = jax.jit(
+        lambda s: fast_rollout_auto(dyn, s, jr.PRNGKey(1), 4))(st)
+    b_state, b_rew, _ = jax.jit(
+        lambda s: fast_rollout(dyn, s, jr.PRNGKey(1), 4))(st)
+    assert np.array_equal(np.asarray(a_state.occ), np.asarray(b_state.occ))
+    assert np.array_equal(np.asarray(a_rew), np.asarray(b_rew))
