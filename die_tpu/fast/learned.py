@@ -138,7 +138,8 @@ class LatticeTrainConfig(NamedTuple):
     seed: int = 0
 
 
-def train_lattice(dyn: FastDynamics, cfg: LatticeTrainConfig, log_fn=None):
+def train_lattice(dyn: FastDynamics, cfg: LatticeTrainConfig, log_fn=None,
+                  mesh=None, mesh_axis="pop"):
     """Neuroevolution of the turn rule on the fast engine.
 
     Returns (best_params f32[3,7], es_state, history).
@@ -176,7 +177,14 @@ def train_lattice(dyn: FastDynamics, cfg: LatticeTrainConfig, log_fn=None):
         member_keys = jax.vmap(
             lambda i: jr.fold_in(jr.fold_in(key, 1), i)
         )(jnp.arange(cfg.popsize))
+        from die_tpu.learn.es import shard_population, unshard_population
+
+        pop, member_keys = shard_population(mesh, mesh_axis, pop,
+                                            member_keys)
         fitnesses = jax.vmap(eval_member)(pop, member_keys)
+        # gather before tell: keeps the ES update's fp32 reductions in the
+        # unsharded order (bitwise-identical training across mesh sizes)
+        fitnesses, eps = unshard_population(mesh, fitnesses, eps)
         es_state = searcher.tell(es_state, eps, fitnesses)
         return es_state, fitnesses
 

@@ -123,7 +123,8 @@ def oracle_conv_nca_rollout(dyn: FastDynamics, params: ConvTurnParams,
     return state, rewards, nums
 
 
-def train_conv_nca(dyn: FastDynamics, cfg, hidden: int = 8, log_fn=None):
+def train_conv_nca(dyn: FastDynamics, cfg, hidden: int = 8, log_fn=None,
+                   mesh=None, mesh_axis="pop"):
     """PGPE neuroevolution of the conv turn rule (cfg: LatticeTrainConfig)."""
     import jax
     import jax.numpy as jnp
@@ -158,7 +159,14 @@ def train_conv_nca(dyn: FastDynamics, cfg, hidden: int = 8, log_fn=None):
         member_keys = jax.vmap(
             lambda i: jr.fold_in(jr.fold_in(key, 1), i)
         )(jnp.arange(cfg.popsize))
+        from die_tpu.learn.es import shard_population, unshard_population
+
+        pop, member_keys = shard_population(mesh, mesh_axis, pop,
+                                            member_keys)
         fitnesses = jax.vmap(eval_member)(pop, member_keys)
+        # gather before tell: keeps the ES update's fp32 reductions in the
+        # unsharded order (bitwise-identical training across mesh sizes)
+        fitnesses, eps = unshard_population(mesh, fitnesses, eps)
         return searcher.tell(es_state, eps, fitnesses), fitnesses
 
     master = jr.PRNGKey(cfg.seed)

@@ -271,3 +271,31 @@ def es_spread(state):
     if hasattr(state, "stdev"):
         return state.stdev
     return state.sigma * jnp.sqrt(state.c_diag)
+
+def shard_population(mesh, axis, *arrays):
+    """Pin the leading (population) axis of each array to a mesh axis —
+    ES members then evaluate data-parallel across devices/hosts (SURVEY
+    §5.8: population sharded across the same mesh).  Identity when mesh is
+    None; results are bitwise identical to the unsharded evaluation (pure
+    per-member map; the fitness vector is gathered in index order)."""
+    if mesh is None:
+        return arrays if len(arrays) > 1 else arrays[0]
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sh = NamedSharding(mesh, PartitionSpec(axis))
+    out = tuple(jax.lax.with_sharding_constraint(a, sh) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+def unshard_population(mesh, *arrays):
+    """Gather population-sharded arrays back to replicated before the ES
+    update — keeps tell()'s fp32 reductions in the unsharded order, so the
+    sharded run is bitwise identical to the single-device run."""
+    if mesh is None:
+        return arrays if len(arrays) > 1 else arrays[0]
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sh = NamedSharding(mesh, PartitionSpec())
+    out = tuple(jax.lax.with_sharding_constraint(a, sh) for a in arrays)
+    return out if len(out) > 1 else out[0]

@@ -71,8 +71,12 @@ def make_searcher(cfg: TrainConfig, num_params: int):
 
 
 def build_generation_step(dynamics: Dynamics, policy, cfg: TrainConfig,
-                          searcher, unravel):
-    """jitted (EsState, epoch_key) -> (EsState, metrics dict)."""
+                          searcher, unravel, mesh=None, mesh_axis="pop"):
+    """jitted (EsState, epoch_key) -> (EsState, metrics dict).
+
+    ``mesh``: optional device mesh; the population axis shards over
+    ``mesh_axis`` (ES members evaluate data-parallel across devices/hosts)
+    with bitwise-identical results to the unsharded run."""
 
     def eval_member(flat_params, member_key):
         params = unravel(flat_params)
@@ -98,7 +102,12 @@ def build_generation_step(dynamics: Dynamics, policy, cfg: TrainConfig,
         member_keys = jax.vmap(
             lambda i: jr.fold_in(jr.fold_in(epoch_key, 1), i)
         )(jnp.arange(searcher.popsize))
+        from die_tpu.learn.es import shard_population, unshard_population
+
+        pop, member_keys = shard_population(mesh, mesh_axis, pop,
+                                            member_keys)
         fitnesses = jax.vmap(eval_member)(pop, member_keys)
+        fitnesses, eps = unshard_population(mesh, fitnesses, eps)
         es_state = searcher.tell(es_state, eps, fitnesses)
         metrics = {
             "best": jnp.max(fitnesses),
@@ -116,7 +125,8 @@ def train(dynamics: Dynamics, policy, cfg: TrainConfig,
           checkpoint_dir: Optional[str] = None,
           checkpoint_every: int = 0,
           resume_from: Optional[str] = None,
-          start_epoch: int = 0):
+          start_epoch: int = 0,
+          mesh=None):
     """Run the full training loop.  Returns (best_params, es_state, history).
 
     ``log_fn(epoch, metrics_dict)`` receives host-side floats per epoch
@@ -137,7 +147,8 @@ def train(dynamics: Dynamics, policy, cfg: TrainConfig,
 
         es_state = load_training_state(resume_from, es_state)
         es_state = jax.tree.map(jnp.asarray, es_state)
-    gen_step = build_generation_step(dynamics, policy, cfg, searcher, unravel)
+    gen_step = build_generation_step(dynamics, policy, cfg, searcher,
+                                     unravel, mesh=mesh)
 
     master = jr.PRNGKey(cfg.seed)
     history = []

@@ -95,3 +95,23 @@ def test_conv_nca_train_smoke():
     assert len(history) == 3
     assert best.conv.shape == (4, 7, 3, 3)
     assert all(np.isfinite(h["best"]) for h in history)
+
+
+def test_population_sharded_training_identical():
+    """ES with the population sharded over an 8-device mesh reproduces the
+    unsharded training run exactly (SURVEY §5.8 population sharding)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from die_tpu.fast.config import FastDynamics
+    from die_tpu.fast.learned import LatticeTrainConfig, train_lattice
+
+    dyn = FastDynamics(food_infinite=True)
+    cfg = LatticeTrainConfig(field_size=(16, 16), epochs=3, epoch_iters=4,
+                             popsize=8, envs_per_eval=1, seed=3)
+    best_ref, es_ref, hist_ref = train_lattice(dyn, cfg)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("pop",))
+    best_sh, es_sh, hist_sh = train_lattice(dyn, cfg, mesh=mesh)
+    assert hist_ref == hist_sh
+    assert np.array_equal(best_ref, best_sh)
+    assert np.array_equal(np.asarray(es_ref.center), np.asarray(es_sh.center))
