@@ -11,7 +11,8 @@ Config via env vars:
   BENCH_ENVS   (default 1024)  number of lockstep envs
   BENCH_FIELD  (default 256)   square field size
   BENCH_AGENTS (default 65536) agent slots per env (exact engine)
-  BENCH_STEPS  (default 32)    steps per timed scan
+  BENCH_STEPS  (default 256)   steps per timed scan (fast engine: also the
+                               K-step kernel fusion depth)
   BENCH_REPS   (default 3)     timed repetitions (best taken)
 Runs on whatever backend jax selects (the real TPU chip under axon).
 """
@@ -35,7 +36,7 @@ def bench_fast():
 
     B = int(os.environ.get("BENCH_ENVS", 1024))
     F = int(os.environ.get("BENCH_FIELD", 256))
-    T = int(os.environ.get("BENCH_STEPS", 64))
+    T = int(os.environ.get("BENCH_STEPS", 256))
     REPS = int(os.environ.get("BENCH_REPS", 3))
     use_pallas = os.environ.get("BENCH_PALLAS", "1") != "0"
 
