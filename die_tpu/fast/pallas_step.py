@@ -329,21 +329,26 @@ def _kernel_bits_banded(dyn, k0, k1, shape, row0, total_rows):
 
 
 def make_pallas_banded_step(dyn: FastDynamics, field_size, num_bands: int,
-                            batch: int = 1, interpret: bool = False):
-    """Returns jittable ``step(state, site_keys) -> (state, rewards, nums)``
+                            batch: int = 1, num_inner: int = 1,
+                            interpret: bool = False):
+    """Returns jittable ``chunk(state, site_keys) -> (state, rewards, nums)``
     for fields too large for the whole-field VMEM kernel, over a lockstep
-    batch of ``batch`` envs.
+    batch of ``batch`` envs and ``num_inner`` fused steps per launch.
 
-    State fields are ``f32[batch, W, H]``; ``site_keys`` is ``u32[batch, 2]``
-    (per-env step key, scalar-prefetched).  The grid is (batch, num_bands):
-    each program DMAs its band + halo_radius(dyn) halo rows (torus wrap)
-    from HBM, runs the identical step body on the padded block, and writes
-    back the center.  Returns per-env reward (band-order fp32 fold —
-    documented divergence, as in parallel/spatial.py) and agent counts.
+    State fields are ``f32[batch, W, H]``; ``site_keys`` is
+    ``u32[batch, num_inner, 2]`` (per-env per-step keys, scalar-prefetched).
+    The grid is (batch, num_bands): each program DMAs its band plus a
+    ``num_inner * halo_radius(dyn)`` halo (torus wrap) from HBM, runs
+    ``num_inner`` steps of the identical step body on the padded block
+    (the valid region shrinks by one influence radius per step, always
+    covering the band), and writes back the center.  Returns per-env
+    per-inner-step rewards ``f32[batch, num_inner]`` (band-order fp32
+    fold — documented divergence, as in parallel/spatial.py) and agent
+    counts ``i32[batch, num_inner]``.
 
-    Requirements: W % num_bands == 0, band height >= halo radius, pow2
-    field sizes >= (8, 128), flow.kind == 'none' (flow_step is untouched
-    when flow is none, so it is carried outside the kernel).
+    Requirements: W % num_bands == 0, pow2 field sizes >= (8, 128),
+    flow.kind == 'none' (flow_step is untouched when flow is none, so it
+    is carried outside the kernel).
     """
     from die_tpu.parallel.spatial import halo_radius
 
@@ -356,11 +361,13 @@ def make_pallas_banded_step(dyn: FastDynamics, field_size, num_bands: int,
     if W % num_bands:
         raise ValueError("W must divide into num_bands")
     Wb = W // num_bands
+    K = num_inner
     # DMA slices must be aligned to the 8-row sublane tiling: round the
-    # halo up to a multiple of 8 (the extra rows are just a wider margin)
-    r = -(-halo_radius(dyn) // 8) * 8
-    if Wb < r:
-        raise ValueError(f"band height {Wb} < (aligned) halo radius {r}")
+    # K-step halo up to a multiple of 8 (extra rows are a wider margin)
+    r = -(-(halo_radius(dyn) * K) // 8) * 8
+    if W - Wb < 2 * r:
+        raise ValueError(f"padded band ({Wb}+2*{r}) exceeds the field; use "
+                         f"fewer bands or fewer inner steps")
     if Wb % 8:
         raise ValueError(f"band height {Wb} must be a multiple of 8")
     Wp = Wb + 2 * r
@@ -393,33 +400,41 @@ def make_pallas_banded_step(dyn: FastDynamics, field_size, num_bands: int,
 
             shape = (Wp, H)
             row0 = jnp.asarray(top, jnp.uint32)
-            k0, k1 = keys_ref[e, 0], keys_ref[e, 1]
-            bits = FastStepBits(
-                rand=_kernel_bits_banded(dyn, k0, k1, shape, row0, W),
-                prio_rot=None if dyn.per_cell_priority
-                else _kernel_prio_rot(k0, k1))
-            state = FastEnvState(occ=s_occ[:], dir=s_dir[:],
-                                 agent_food=s_afood[:], env_food=s_efood[:],
-                                 chem=s_chem[:], flow_step=jnp.int32(0))
             from die_tpu.fast.env import fast_step_full, tree_sum_2d
 
-            new_state, _, _, gained = fast_step_full(dyn, state, bits)
             sl = slice(r, r + Wb)
-            occ_o[0] = new_state.occ[sl]
-            dir_o[0] = new_state.dir[sl]
-            afood_o[0] = new_state.agent_food[sl]
-            efood_o[0] = new_state.env_food[sl]
-            chem_o[0] = new_state.chem[sl]
-            reward_o[0, b, 0] = tree_sum_2d(jnp, gained[sl])
-            num_o[0, b, 0] = jnp.sum(
-                (new_state.occ[sl] > np.float32(0.0)).astype(jnp.int32))
+
+            def inner(k, carry):
+                occ, dirf, afood, efood, chem = carry
+                k0, k1 = keys_ref[e, k, 0], keys_ref[e, k, 1]
+                bits = FastStepBits(
+                    rand=_kernel_bits_banded(dyn, k0, k1, shape, row0, W),
+                    prio_rot=None if dyn.per_cell_priority
+                    else _kernel_prio_rot(k0, k1))
+                state = FastEnvState(occ=occ, dir=dirf, agent_food=afood,
+                                     env_food=efood, chem=chem,
+                                     flow_step=jnp.int32(0))
+                ns, _, _, gained = fast_step_full(dyn, state, bits)
+                reward_o[0, b, k] = tree_sum_2d(jnp, gained[sl])
+                num_o[0, b, k] = jnp.sum(
+                    (ns.occ[sl] > np.float32(0.0)).astype(jnp.int32))
+                return (ns.occ, ns.dir, ns.agent_food, ns.env_food, ns.chem)
+
+            carry = (s_occ[:], s_dir[:], s_afood[:], s_efood[:], s_chem[:])
+            occ, dirf, afood, efood, chem = jax.lax.fori_loop(
+                0, K, inner, carry)
+            occ_o[0] = occ[sl]
+            dir_o[0] = dirf[sl]
+            afood_o[0] = afood[sl]
+            efood_o[0] = efood[sl]
+            chem_o[0] = chem[sl]
         finally:
             set_pallas_trace(prev)
 
     field_b = jax.ShapeDtypeStruct((B, W, H), jnp.float32)
     band_spec = pl.BlockSpec((1, Wb, H), lambda e, b, *_: (e, b, 0),
                              memory_space=pltpu.VMEM)
-    per_env_spec = pl.BlockSpec((1, num_bands, 1),
+    per_env_spec = pl.BlockSpec((1, num_bands, K),
                                 lambda e, b, *_: (e, 0, 0),
                                 memory_space=pltpu.SMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -436,8 +451,8 @@ def make_pallas_banded_step(dyn: FastDynamics, field_size, num_bands: int,
             kernel,
             grid_spec=grid_spec,
             out_shape=(field_b,) * 5 + (
-                jax.ShapeDtypeStruct((B, num_bands, 1), jnp.float32),
-                jax.ShapeDtypeStruct((B, num_bands, 1), jnp.int32)),
+                jax.ShapeDtypeStruct((B, num_bands, K), jnp.float32),
+                jax.ShapeDtypeStruct((B, num_bands, K), jnp.int32)),
             interpret=interpret,
         )(site_keys, state.occ, state.dir,
           state.agent_food, state.env_food, state.chem)
@@ -447,15 +462,15 @@ def make_pallas_banded_step(dyn: FastDynamics, field_size, num_bands: int,
                                  flow_step=state.flow_step)
         # band-order reward fold (documented fp32 order divergence vs the
         # whole-field pinned tree; exact for the int32 agent count)
-        return new_state, jnp.sum(rewards[:, :, 0], axis=1), jnp.sum(
-            nums[:, :, 0], axis=1)
+        return new_state, jnp.sum(rewards, axis=1), jnp.sum(nums, axis=1)
 
     return step
 
 
 def pallas_banded_rollout(dyn: FastDynamics, state: FastEnvState,
                           rollout_key, num_steps: int, num_bands: int,
-                          t0: int = 0, interpret: bool = False):
+                          num_inner: int = 1, t0: int = 0,
+                          interpret: bool = False):
     """Scan over the banded large-field step, single env (jit this).
     For lockstep batches use :func:`pallas_banded_rollout_batch`."""
     batched = FastEnvState(occ=state.occ[None], dir=state.dir[None],
@@ -464,8 +479,8 @@ def pallas_banded_rollout(dyn: FastDynamics, state: FastEnvState,
                            chem=state.chem[None],
                            flow_step=state.flow_step)
     out, rewards, nums = pallas_banded_rollout_batch(
-        dyn, batched, rollout_key[None], num_steps, num_bands, t0=t0,
-        interpret=interpret)
+        dyn, batched, rollout_key[None], num_steps, num_bands,
+        num_inner=num_inner, t0=t0, interpret=interpret)
     return FastEnvState(occ=out.occ[0], dir=out.dir[0],
                         agent_food=out.agent_food[0],
                         env_food=out.env_food[0], chem=out.chem[0],
@@ -474,21 +489,26 @@ def pallas_banded_rollout(dyn: FastDynamics, state: FastEnvState,
 
 def pallas_banded_rollout_batch(dyn: FastDynamics, states: FastEnvState,
                                 rollout_keys, num_steps: int,
-                                num_bands: int, t0: int = 0,
-                                interpret: bool = False):
+                                num_bands: int, num_inner: int = 1,
+                                t0: int = 0, interpret: bool = False):
     """Scan over the banded step for a lockstep batch: state fields
-    ``[B, W, H]``, ``rollout_keys`` ``u32[B, 2]``.  Returns
+    ``[B, W, H]``, ``rollout_keys`` ``u32[B, 2]``, ``num_inner`` fused
+    steps per kernel launch (num_steps % num_inner == 0).  Returns
     (states, rewards[T, B], nums[T, B])."""
+    assert num_steps % num_inner == 0
     B, W, H = states.occ.shape
     step = make_pallas_banded_step(dyn, (W, H), num_bands, batch=B,
-                                   interpret=interpret)
+                                   num_inner=num_inner, interpret=interpret)
 
-    def body(carry, t):
+    def body(carry, ts):
         st = carry
-        keys = jax.vmap(lambda k: site_keys_for_step(k, t))(rollout_keys)
-        st, rewards, nums = step(st, keys)
+        keys = jax.vmap(lambda k: jax.vmap(
+            lambda t: site_keys_for_step(k, t))(ts))(rollout_keys)
+        st, rewards, nums = step(st, keys)  # (B, K)
         return st, (rewards, nums)
 
-    states, (rewards, nums) = jax.lax.scan(
-        body, states, jnp.arange(num_steps) + t0)
+    chunks = (jnp.arange(num_steps) + t0).reshape(-1, num_inner)
+    states, (rewards, nums) = jax.lax.scan(body, states, chunks)
+    rewards = jnp.swapaxes(rewards, 1, 2).reshape(num_steps, B)
+    nums = jnp.swapaxes(nums, 1, 2).reshape(num_steps, B)
     return states, rewards, nums

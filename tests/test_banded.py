@@ -48,3 +48,21 @@ def test_banded_rejects_bad_geometry():
         make_pallas_banded_step(dyn, (32, 128), num_bands=16)  # band < halo
     with pytest.raises(ValueError):
         make_pallas_banded_step(dyn, (48, 128), num_bands=3)  # non-pow2
+
+
+def test_banded_multi_step_matches_unsharded():
+    """K fused inner steps (wider halo) stay bitwise-identical."""
+    dyn = FastDynamics()
+    size = (64, 128)
+    steps = 8
+    state = fast_init_jax(jr.PRNGKey(2), size, dyn)
+    key = jr.PRNGKey(3)
+    ref_state, _, ref_nums = jax.jit(
+        lambda s: fast_rollout(dyn, s, key, steps))(state)
+    band_state, _, band_nums = jax.jit(
+        lambda s: pallas_banded_rollout(dyn, s, key, steps, num_bands=2,
+                                        num_inner=2, interpret=True))(state)
+    for name in ("occ", "dir", "agent_food", "env_food", "chem"):
+        assert np.array_equal(np.asarray(getattr(ref_state, name)),
+                              np.asarray(getattr(band_state, name))), name
+    assert np.array_equal(np.asarray(ref_nums), np.asarray(band_nums))

@@ -319,8 +319,12 @@ def banded():
     from die_tpu.fast.rollout import fast_rollout
 
     dyn = FastDynamics()
-    for F, bands, B, T in ((1024, 16, 8, 16),):
-        def one(F=F, bands=bands, B=B, T=T):
+    for F, bands, B, T, K in ((512, 4, 32, 16, 1),
+                              (512, 8, 32, 16, 2),
+                              (512, 8, 32, 16, 4),
+                              (1024, 16, 8, 16, 2),
+                              (1024, 16, 8, 16, 4)):
+        def one(F=F, bands=bands, B=B, T=T, K=K):
             keys = jax.vmap(lambda i: jr.fold_in(jr.PRNGKey(0), i))(
                 jnp.arange(B))
             states = jax.jit(jax.vmap(
@@ -331,24 +335,16 @@ def banded():
             @jax.jit
             def run(states, rkeys):
                 _, rew, _ = pallas_banded_rollout_batch(
-                    dyn, states, rkeys, T, num_bands=bands)
+                    dyn, states, rkeys, T, num_bands=bands, num_inner=K)
                 return jnp.sum(rew)
 
             best = timed(run, states, rkeys)
-            log(item=f"banded_{F}x{F}_b{bands}", secs=round(best, 4), B=B,
+            log(item=f"banded_{F}x{F}_b{bands}_k{K}", secs=round(best, 4), B=B,
                 T=T, env_steps_per_s=round(B * T / best, 1))
 
-            @jax.jit
-            def run_xla(states, rkeys):
-                roll = lambda s, k: fast_rollout(dyn, s, k, T)  # noqa: E731
-                _, rew, _ = jax.vmap(roll)(states, rkeys)
-                return jnp.sum(rew)
 
-            best2 = timed(run_xla, states, rkeys)
-            log(item=f"xla_{F}x{F}", secs=round(best2, 4), B=B, T=T,
-                env_steps_per_s=round(B * T / best2, 1))
 
-        guard(f"banded_{F}", one)
+        guard(f"banded_{F}_k{K}", one)
 
 
 
