@@ -31,8 +31,7 @@ def bench_fast():
 
     from die_tpu.fast.config import FastDynamics
     from die_tpu.fast.init import fast_init_jax
-    from die_tpu.fast.pallas_step import pallas_fast_rollout_multi
-    from die_tpu.fast.rollout import fast_rollout
+    from die_tpu.fast.rollout import fast_rollout, fast_rollout_auto
 
     B = int(os.environ.get("BENCH_ENVS", 1024))
     F = int(os.environ.get("BENCH_FIELD", 256))
@@ -41,9 +40,6 @@ def bench_fast():
     use_pallas = os.environ.get("BENCH_PALLAS", "1") != "0"
 
     dyn = FastDynamics()
-    # pallas path: pow2 field >= (8,128), flow none
-    pallas_ok = (use_pallas and dyn.flow.kind == "none"
-                 and F >= 128 and (F & (F - 1)) == 0)
 
     def make(b):
         keys = jax.vmap(lambda i: jr.fold_in(jr.PRNGKey(0), i))(jnp.arange(b))
@@ -54,11 +50,13 @@ def bench_fast():
 
     @jax.jit
     def run(states, rkeys):
-        if pallas_ok:
-            roll = lambda s, k: pallas_fast_rollout_multi(  # noqa: E731
-                dyn, s, k, T, num_inner=T)
-        else:
+        # auto-routes: whole-field K-step kernel <=256^2, banded kernel for
+        # larger pow2 fields, XLA scan otherwise (die_tpu/fast/rollout.py)
+        if not use_pallas:
             roll = lambda s, k: fast_rollout(dyn, s, k, T)  # noqa: E731
+        else:
+            roll = lambda s, k: fast_rollout_auto(  # noqa: E731
+                dyn, s, k, T, num_inner=T)
         _, rew, _ = jax.vmap(roll)(states, rkeys)
         return jnp.sum(rew)
 

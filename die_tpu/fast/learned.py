@@ -139,8 +139,15 @@ class LatticeTrainConfig(NamedTuple):
 
 
 def train_lattice(dyn: FastDynamics, cfg: LatticeTrainConfig, log_fn=None,
-                  mesh=None, mesh_axis="pop"):
+                  mesh=None, mesh_axis="pop", checkpoint_dir=None,
+                  checkpoint_every: int = 0, resume_from=None,
+                  start_epoch: int = 0):
     """Neuroevolution of the turn rule on the fast engine.
+
+    ``checkpoint_dir``/``checkpoint_every``: periodic ES-state checkpoints
+    (preemption-safe, like learn/train.py); ``resume_from``/``start_epoch``
+    continue a run with the exact searcher state — epochs are keyed by
+    index, so a resumed run replays the same generation stream.
 
     Returns (best_params f32[3,7], es_state, history).
     """
@@ -158,6 +165,11 @@ def train_lattice(dyn: FastDynamics, cfg: LatticeTrainConfig, log_fn=None,
                     center_learning_rate=0.05, radius_init=0.5,
                     max_speed=0.1)
     es_state = searcher.init(flat0)
+    if resume_from is not None:
+        from die_tpu.utils.checkpoint import load_training_state
+
+        es_state = jax.tree.map(jnp.asarray,
+                                load_training_state(resume_from, es_state))
 
     def eval_member(flat_params, member_key):
         params = unravel(flat_params)
@@ -191,7 +203,7 @@ def train_lattice(dyn: FastDynamics, cfg: LatticeTrainConfig, log_fn=None,
     master = jr.PRNGKey(cfg.seed)
     history = []
     best_fit, best_center = -np.inf, np.asarray(es_state.center)
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         es_state, fits = generation(es_state, jr.fold_in(master, epoch))
         m = {"epoch": epoch, "best": float(jnp.max(fits)),
              "mean": float(jnp.mean(fits))}
@@ -201,5 +213,10 @@ def train_lattice(dyn: FastDynamics, cfg: LatticeTrainConfig, log_fn=None,
             best_center = np.asarray(es_state.center)
         if log_fn:
             log_fn(epoch, m)
+        if checkpoint_dir and checkpoint_every and \
+                (epoch + 1) % checkpoint_every == 0:
+            from die_tpu.utils.checkpoint import save_training_state
+
+            save_training_state(checkpoint_dir, epoch, es_state, cfg)
     return best_center.reshape(NUM_ACTIONS, NUM_FEATURES + 1), es_state, \
         history

@@ -62,7 +62,13 @@ def save_training_state(directory: str, epoch: int, es_state, cfg) -> str:
     save_pytree(path, es_state)
     import dataclasses
 
-    meta = {"epoch": epoch, "config": dataclasses.asdict(cfg)}
+    if dataclasses.is_dataclass(cfg):
+        cfg_dict = dataclasses.asdict(cfg)
+    elif hasattr(cfg, "_asdict"):  # NamedTuple configs (LatticeTrainConfig)
+        cfg_dict = cfg._asdict()
+    else:
+        cfg_dict = dict(cfg)
+    meta = {"epoch": epoch, "config": cfg_dict}
     with open(os.path.join(directory, f"es_{epoch:06d}.json"), "w") as f:
         json.dump(meta, f, indent=2, default=str)
     return path

@@ -115,3 +115,26 @@ def test_population_sharded_training_identical():
     assert hist_ref == hist_sh
     assert np.array_equal(best_ref, best_sh)
     assert np.array_equal(np.asarray(es_ref.center), np.asarray(es_sh.center))
+
+
+def test_train_lattice_checkpoint_resume(tmp_path):
+    """Interrupt-at-epoch-k + resume reproduces the uninterrupted run
+    exactly (preemption-safe lattice training, as learn/train.py)."""
+    from die_tpu.fast.config import FastDynamics
+    from die_tpu.fast.learned import LatticeTrainConfig, train_lattice
+
+    dyn = FastDynamics(food_infinite=True)
+    cfg = LatticeTrainConfig(field_size=(16, 16), epochs=4, epoch_iters=3,
+                             popsize=4, envs_per_eval=1, seed=5)
+    best_ref, es_ref, hist_ref = train_lattice(dyn, cfg)
+
+    ckdir = str(tmp_path / "ck")
+    cfg2 = cfg._replace(epochs=2)
+    train_lattice(dyn, cfg2, checkpoint_dir=ckdir, checkpoint_every=2)
+    import glob
+
+    ck = sorted(glob.glob(ckdir + "/es_*.npz"))[-1]
+    best_res, es_res, hist_res = train_lattice(dyn, cfg, resume_from=ck,
+                                               start_epoch=2)
+    assert hist_res == hist_ref[2:]
+    assert np.array_equal(np.asarray(es_ref.center), np.asarray(es_res.center))
