@@ -173,3 +173,57 @@ def sign_from_bits(bits):
     """
     low = (bits & np.uint32(1)).astype(np.float32)
     return low * np.float32(2.0) - np.float32(1.0)
+
+
+def jnp_threefry2x32_pair(k0, k1, x0, x1):
+    """jnp twin of :func:`np_threefry2x32_pair` — pure u32 arithmetic, so it
+    lowers inside Pallas kernels (scalars or arrays).  Bitwise-identical to
+    jax.random's threefry2x32 primitive."""
+    import jax.numpy as jnp
+
+    x0 = jnp.asarray(x0, jnp.uint32)
+    x1 = jnp.asarray(x1, jnp.uint32)
+    ks0 = jnp.asarray(k0, jnp.uint32)
+    ks1 = jnp.asarray(k1, jnp.uint32)
+    ks2 = ks0 ^ ks1 ^ np.uint32(0x1BD11BDA)
+    ks = (ks0, ks1, ks2)
+
+    def rotl(v, r):
+        return (v << np.uint32(r)) | (v >> np.uint32(32 - r))
+
+    x0 = x0 + ks0
+    x1 = x1 + ks1
+    for i in range(5):
+        for r in _ROTATIONS[i % 2]:
+            x0 = x0 + x1
+            x1 = rotl(x1, r)
+            x1 = x1 ^ x0
+        x0 = x0 + ks[(i + 1) % 3]
+        x1 = x1 + ks[(i + 2) % 3] + np.uint32(i + 1)
+    return x0, x1
+
+
+def jnp_fold_in_scalars(k0, k1, data):
+    """jnp twin of ``jax.random.fold_in(key, data)`` on u32 scalars
+    (np_fold_in semantics: new key = threefry2x32(key, [0, data]))."""
+    import jax.numpy as jnp
+
+    y0, y1 = jnp_threefry2x32_pair(k0, k1, jnp.uint32(0),
+                                   jnp.asarray(data, jnp.uint32))
+    return y0, y1
+
+
+def jnp_threefry_bits_2d(k0, k1, shape):
+    """jnp twin of ``np_random_bits(key, shape)`` for 2D shapes, built from
+    broadcasted iotas only (Pallas-kernel-legal).  hi = 0 (fits u32 counts),
+    lo = row-major flat index, out = b0 ^ b1."""
+    import jax
+    import jax.numpy as jnp
+
+    H = shape[1]
+    row = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    lo = row * np.uint32(H) + col
+    hi = jnp.zeros(shape, jnp.uint32)
+    b0, b1 = jnp_threefry2x32_pair(k0, k1, hi, lo)
+    return b0 ^ b1

@@ -167,14 +167,40 @@ def _multi_step_kernel(dyn: FastDynamics, num_inner: int, keys_ref, flow_ref,
         set_pallas_trace(prev)
 
 
+def _multi_step_kernel_perlin(dyn: FastDynamics, num_inner: int, keys_ref,
+                              flow_ref, fstack_ref, occ_ref, dir_ref,
+                              afood_ref, efood_ref, chem_ref, occ_o, dir_o,
+                              afood_o, efood_o, chem_o, reward_o, num_o,
+                              flow_o, s_flow, fsem):
+    prev = set_pallas_trace(True)
+    try:
+        _multi_step_kernel_body(dyn, num_inner, keys_ref, flow_ref, occ_ref,
+                                dir_ref, afood_ref, efood_ref, chem_ref,
+                                occ_o, dir_o, afood_o, efood_o, chem_o,
+                                reward_o, num_o, flow_o,
+                                fstack_ref=fstack_ref, s_flow=s_flow,
+                                fsem=fsem)
+    finally:
+        set_pallas_trace(prev)
+
+
 def _multi_step_kernel_body(dyn: FastDynamics, num_inner: int, keys_ref,
                             flow_ref, occ_ref, dir_ref, afood_ref, efood_ref,
                             chem_ref, occ_o, dir_o, afood_o, efood_o, chem_o,
-                            reward_o, num_o, flow_o):
+                            reward_o, num_o, flow_o, fstack_ref=None,
+                            s_flow=None, fsem=None):
     shape = occ_ref.shape
 
     def body(k, carry):
         occ, dirf, afood, efood, chem, flow_step = carry
+        flow_field = None
+        if fstack_ref is not None:
+            # precomputed perlin flow field for this inner step (the jax
+            # .random draws cannot lower in Mosaic — computed outside)
+            c = pltpu.make_async_copy(fstack_ref.at[k], s_flow, fsem)
+            c.start()
+            c.wait()
+            flow_field = s_flow[:]
         bits = FastStepBits(
             rand=_kernel_bits(dyn, keys_ref[k, 0], keys_ref[k, 1], shape),
             prio_rot=None if dyn.per_cell_priority
@@ -182,7 +208,8 @@ def _multi_step_kernel_body(dyn: FastDynamics, num_inner: int, keys_ref,
         state = FastEnvState(occ=occ, dir=dirf, agent_food=afood,
                              env_food=efood, chem=chem,
                              flow_step=flow_step)
-        new_state, reward, num = fast_step(dyn, state, bits)
+        new_state, reward, num = fast_step(dyn, state, bits,
+                                           flow_field=flow_field)
         reward_o[k, 0] = reward
         num_o[k, 0] = num
         return (new_state.occ, new_state.dir, new_state.agent_food,
@@ -203,31 +230,54 @@ def _multi_step_kernel_body(dyn: FastDynamics, num_inner: int, keys_ref,
 def make_pallas_multi_step(dyn: FastDynamics, field_size, num_inner: int,
                            interpret: bool = False):
     """Returns jittable ``chunk(state, site_keys[K,2]) -> (state,
-    rewards[K], nums[K])`` running K steps per kernel launch."""
-    if dyn.flow.kind == "perlin":
-        raise NotImplementedError("perlin flow draws jax.random keys and "
-                                  "runs on the XLA path, not in the kernel")
+    rewards[K], nums[K])`` running K steps per kernel launch.
+
+    Perlin flow: the K flow fields are precomputed outside the kernel
+    (jax.random draws cannot lower in Mosaic; they are a function of
+    flow_step only, shared across lockstep envs) and DMA'd in per step —
+    applied update and trajectories are bitwise identical to the XLA path.
+    """
     W, H = field_size
     if (W & (W - 1)) or (H & (H - 1)) or W < 8 or H < 128:
         raise ValueError("pallas step needs pow2 field sizes >= (8, 128)")
 
+    perlin = dyn.flow.kind == "perlin"
     field = jax.ShapeDtypeStruct((W, H), jnp.float32)
-    kernel = partial(_multi_step_kernel, dyn, num_inner)
+    if perlin:
+        kernel = partial(_multi_step_kernel_perlin, dyn, num_inner)
+    else:
+        kernel = partial(_multi_step_kernel, dyn, num_inner)
 
-    def chunk(state: FastEnvState, site_keys):
+    def chunk(state: FastEnvState, site_keys, flow_stack=None):
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        args = [site_keys, state.flow_step.reshape(1, 1)]
+        scratch = []
+        if perlin:
+            if flow_stack is None:
+                raise ValueError(
+                    "perlin flow needs the precomputed [K, W, H] flow_stack "
+                    "(see pallas_fast_rollout_multi) — computed from the "
+                    "chunk's global step indices so it stays unmapped "
+                    "(shared) under vmap over envs")
+            in_specs += [pl.BlockSpec(memory_space=pl.ANY)]
+            args += [flow_stack]
+            scratch = [pltpu.VMEM((W, H), jnp.float32),
+                       pltpu.SemaphoreType.DMA(())]
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+        args += [state.occ, state.dir, state.agent_food, state.env_food,
+                 state.chem]
         outs = pl.pallas_call(
             kernel,
             out_shape=(field, field, field, field, field,
                        jax.ShapeDtypeStruct((num_inner, 1), jnp.float32),
                        jax.ShapeDtypeStruct((num_inner, 1), jnp.int32),
                        jax.ShapeDtypeStruct((1, 1), jnp.int32)),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+            in_specs=in_specs,
             out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 5
             + (pl.BlockSpec(memory_space=pltpu.SMEM),) * 3,
+            scratch_shapes=scratch,
             interpret=interpret,
-        )(site_keys, state.flow_step.reshape(1, 1), state.occ, state.dir,
-          state.agent_food, state.env_food, state.chem)
+        )(*args)
         occ, dirf, afood, efood, chem, rewards, nums, flow = outs
         new_state = FastEnvState(occ=occ, dir=dirf, agent_food=afood,
                                  env_food=efood, chem=chem,
@@ -241,13 +291,39 @@ def pallas_fast_rollout_multi(dyn: FastDynamics, state: FastEnvState,
                               rollout_key, num_steps: int,
                               num_inner: int = 8, t0: int = 0,
                               interpret: bool = False):
-    """Scan over K-step VMEM-resident kernel chunks (num_steps % K == 0)."""
+    """Scan over K-step VMEM-resident kernel chunks (num_steps % K == 0).
+
+    Perlin flow: the per-step flow fields are precomputed from the global
+    step indices (requires the rollout invariant flow_step == t, which
+    holds for any chain of these rollouts from a fresh init) — they depend
+    only on time, so under vmap over envs the stack stays unmapped and is
+    shared by every env's kernel.
+    """
     assert num_steps % num_inner == 0
     chunk = make_pallas_multi_step(dyn, state.occ.shape, num_inner,
                                    interpret=interpret)
     all_keys = jax.vmap(lambda t: site_keys_for_step(rollout_key, t))(
         jnp.arange(num_steps) + t0)
     chunked_keys = all_keys.reshape(num_steps // num_inner, num_inner, 2)
+
+    if dyn.flow.kind == "perlin":
+        from die_tpu.ops.waves import perlin_flow_field
+
+        W, H = state.occ.shape
+        ts = (jnp.arange(num_steps) + t0).reshape(num_steps // num_inner,
+                                                  num_inner)
+
+        def body(carry, xs):
+            st = carry
+            keys_k, ts_k = xs
+            fstack = jax.vmap(lambda t: perlin_flow_field(
+                dyn.flow, (W, H), t))(ts_k)
+            st, rewards, nums = chunk(st, keys_k, fstack)
+            return st, (rewards, nums)
+
+        state, (rewards, nums) = jax.lax.scan(body, state,
+                                              (chunked_keys, ts))
+        return state, rewards.reshape(-1), nums.reshape(-1)
 
     def body(carry, keys_k):
         st = carry

@@ -110,13 +110,16 @@ def fast_rollout_auto(dyn: FastDynamics, state: FastEnvState, rollout_key,
     W, H = state.occ.shape
     pow2_ok = (W & (W - 1)) == 0 and (H & (H - 1)) == 0 and W >= 8 and H >= 128
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu and dyn.flow.kind == "none" and pow2_ok:
+    if on_tpu and pow2_ok:
+        # whole-field kernel handles all flow kinds (perlin fields are
+        # precomputed and DMA'd); the banded kernel needs flow == 'none'
         if W * H <= vmem_budget_cells and num_steps % num_inner == 0:
             from die_tpu.fast.pallas_step import pallas_fast_rollout_multi
 
             return pallas_fast_rollout_multi(dyn, state, rollout_key,
                                              num_steps, num_inner=num_inner,
                                              t0=t0)
+    if on_tpu and dyn.flow.kind == "none" and pow2_ok:
         from die_tpu.parallel.spatial import halo_radius
 
         r = -(-halo_radius(dyn) // 8) * 8

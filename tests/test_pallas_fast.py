@@ -47,3 +47,25 @@ def test_pallas_wave_flow_matches_xla():
     assert np.array_equal(np.asarray(ref_state.env_food),
                           np.asarray(pal_state.env_food))
     assert int(ref_state.flow_step) == int(pal_state.flow_step) == 4
+
+
+def test_pallas_perlin_flow_matches_xla():
+    """Perlin flow in the K-step kernel: the fields are precomputed outside
+    (jr draws can't lower in Mosaic) and DMA'd per inner step — trajectories
+    bitwise-identical to the XLA path."""
+    from die_tpu.core.config import FlowConfig
+    from die_tpu.fast.pallas_step import pallas_fast_rollout_multi
+
+    dyn = FastDynamics(flow=FlowConfig(kind="perlin", scale=0.4, decay=0.3,
+                                       octaves=4, seed=9))
+    st = fast_init_jax(jr.PRNGKey(6), SIZE, dyn)
+    ref_state, ref_rew, ref_num = jax.jit(
+        lambda s: fast_rollout(dyn, s, jr.PRNGKey(7), 6))(st)
+    pal_state, pal_rew, pal_num = jax.jit(
+        lambda s: pallas_fast_rollout_multi(dyn, s, jr.PRNGKey(7), 6,
+                                            num_inner=3,
+                                            interpret=True))(st)
+    assert np.array_equal(np.asarray(ref_rew), np.asarray(pal_rew))
+    assert np.array_equal(np.asarray(ref_num), np.asarray(pal_num))
+    for name, a, b in zip(ref_state._fields, ref_state, pal_state):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
