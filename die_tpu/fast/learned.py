@@ -165,11 +165,16 @@ def train_lattice(dyn: FastDynamics, cfg: LatticeTrainConfig, log_fn=None,
                     center_learning_rate=0.05, radius_init=0.5,
                     max_speed=0.1)
     es_state = searcher.init(flat0)
+    resumed_best = None
     if resume_from is not None:
-        from die_tpu.utils.checkpoint import load_training_state
+        from die_tpu.utils.checkpoint import (
+            load_training_best,
+            load_training_state,
+        )
 
         es_state = jax.tree.map(jnp.asarray,
                                 load_training_state(resume_from, es_state))
+        resumed_best = load_training_best(resume_from)
 
     def eval_member(flat_params, member_key):
         params = unravel(flat_params)
@@ -203,6 +208,8 @@ def train_lattice(dyn: FastDynamics, cfg: LatticeTrainConfig, log_fn=None,
     master = jr.PRNGKey(cfg.seed)
     history = []
     best_fit, best_center = -np.inf, np.asarray(es_state.center)
+    if resumed_best is not None:
+        best_fit, best_center = resumed_best
     for epoch in range(start_epoch, cfg.epochs):
         es_state, fits = generation(es_state, jr.fold_in(master, epoch))
         m = {"epoch": epoch, "best": float(jnp.max(fits)),
@@ -217,6 +224,7 @@ def train_lattice(dyn: FastDynamics, cfg: LatticeTrainConfig, log_fn=None,
                 (epoch + 1) % checkpoint_every == 0:
             from die_tpu.utils.checkpoint import save_training_state
 
-            save_training_state(checkpoint_dir, epoch, es_state, cfg)
+            save_training_state(checkpoint_dir, epoch, es_state, cfg,
+                                best_fit=best_fit, best_center=best_center)
     return best_center.reshape(NUM_ACTIONS, NUM_FEATURES + 1), es_state, \
         history

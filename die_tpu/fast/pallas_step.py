@@ -297,9 +297,22 @@ def pallas_fast_rollout_multi(dyn: FastDynamics, state: FastEnvState,
     step indices (requires the rollout invariant flow_step == t, which
     holds for any chain of these rollouts from a fresh init) — they depend
     only on time, so under vmap over envs the stack stays unmapped and is
-    shared by every env's kernel.
+    shared by every env's kernel.  The t0-based derivation is deliberate:
+    deriving times from ``state.flow_step`` would map the stack under vmap
+    (one [K, W, H] stack per env).  The invariant is checked here whenever
+    ``state.flow_step`` is concrete; callers resuming a rollout must pass
+    ``t0 = state.flow_step`` (fast_rollout_auto forwards its t0 the same
+    way).
     """
     assert num_steps % num_inner == 0
+    if dyn.flow.kind == "perlin" and \
+            not isinstance(state.flow_step, jax.core.Tracer):
+        fs = int(np.asarray(jax.device_get(state.flow_step)))
+        if fs != int(t0):
+            raise ValueError(
+                f"perlin flow stack is precomputed from t0={t0} but "
+                f"state.flow_step={fs}; resume with t0=state.flow_step or "
+                f"the flow fields will be for the wrong times")
     chunk = make_pallas_multi_step(dyn, state.occ.shape, num_inner,
                                    interpret=interpret)
     all_keys = jax.vmap(lambda t: site_keys_for_step(rollout_key, t))(

@@ -95,6 +95,31 @@ def fast_rollout(dyn: FastDynamics, state: FastEnvState, rollout_key,
     return state, rewards, nums
 
 
+def choose_bands(dyn: FastDynamics, W: int, H: int,
+                 vmem_budget_cells: int = 256 * 256) -> int:
+    """Band count for the banded kernel, or 1 when the geometry cannot run
+    it (then callers use the whole-field kernel or the XLA scan).
+
+    Picks the largest band count whose band height stays >= the (8-aligned)
+    halo and keeps the padded block near the VMEM-proven working size, then
+    validates the exact kernel constraints — the padded block (band + torus
+    halo on both sides) must fit the field and bands must stay 8-row
+    aligned.  Extreme aspect ratios (e.g. 16 x 8192) otherwise land on
+    bands=2 with W - Wb < 2r and the kernel constructor raises (advisor
+    finding, round 1)."""
+    from die_tpu.parallel.spatial import halo_radius
+
+    r = -(-halo_radius(dyn) // 8) * 8
+    bands = 1
+    while (W // (bands * 2)) >= max(r, 8) and \
+            (W // (bands * 2)) * H > vmem_budget_cells // 2:
+        bands *= 2
+    Wb = W // bands
+    if bands > 1 and W - Wb >= 2 * r and Wb % 8 == 0:
+        return bands
+    return 1
+
+
 def fast_rollout_auto(dyn: FastDynamics, state: FastEnvState, rollout_key,
                       num_steps: int, t0: int = 0, num_inner: int = 32,
                       vmem_budget_cells: int = 256 * 256):
@@ -104,6 +129,11 @@ def fast_rollout_auto(dyn: FastDynamics, state: FastEnvState, rollout_key,
       (pow2 sizes >= (8, 128), flow 'none', num_steps % num_inner == 0);
     - banded Pallas kernel for larger pow2 fields (2x the XLA path);
     - the XLA scan otherwise (any geometry / flow).
+
+    Invariant for perlin flow: the kernel path precomputes flow fields from
+    t0-based global step indices, so resumed states must be passed with
+    ``t0 == state.flow_step`` (checked when flow_step is concrete — see
+    pallas_fast_rollout_multi).
     """
     import jax
 
@@ -120,15 +150,7 @@ def fast_rollout_auto(dyn: FastDynamics, state: FastEnvState, rollout_key,
                                              num_steps, num_inner=num_inner,
                                              t0=t0)
     if on_tpu and dyn.flow.kind == "none" and pow2_ok:
-        from die_tpu.parallel.spatial import halo_radius
-
-        r = -(-halo_radius(dyn) // 8) * 8
-        # largest band count whose (pow2) band height stays >= the halo
-        # and keeps the padded block near the VMEM-proven working size
-        bands = 1
-        while (W // (bands * 2)) >= max(r, 8) and \
-                (W // (bands * 2)) * H > vmem_budget_cells // 2:
-            bands *= 2
+        bands = choose_bands(dyn, W, H, vmem_budget_cells)
         if bands > 1:
             from die_tpu.fast.pallas_step import pallas_banded_rollout
 

@@ -142,11 +142,16 @@ def train(dynamics: Dynamics, policy, cfg: TrainConfig,
     flat0, unravel = ravel_pytree(params0)
     searcher = make_searcher(cfg, flat0.shape[0])
     es_state = searcher.init(flat0)
+    resumed_best = None
     if resume_from is not None:
-        from die_tpu.utils.checkpoint import load_training_state
+        from die_tpu.utils.checkpoint import (
+            load_training_best,
+            load_training_state,
+        )
 
         es_state = load_training_state(resume_from, es_state)
         es_state = jax.tree.map(jnp.asarray, es_state)
+        resumed_best = load_training_best(resume_from)
     gen_step = build_generation_step(dynamics, policy, cfg, searcher,
                                      unravel, mesh=mesh)
 
@@ -154,6 +159,8 @@ def train(dynamics: Dynamics, policy, cfg: TrainConfig,
     history = []
     best_fit = -np.inf
     best_center = np.asarray(es_center(es_state))
+    if resumed_best is not None:
+        best_fit, best_center = resumed_best
     t_start = time.time()
     for epoch in range(start_epoch, cfg.epochs):
         es_state, metrics = gen_step(es_state, jr.fold_in(master, epoch))
@@ -170,7 +177,8 @@ def train(dynamics: Dynamics, policy, cfg: TrainConfig,
                 (epoch + 1) % checkpoint_every == 0:
             from die_tpu.utils.checkpoint import save_training_state
 
-            save_training_state(checkpoint_dir, epoch, es_state, cfg)
+            save_training_state(checkpoint_dir, epoch, es_state, cfg,
+                                best_fit=best_fit, best_center=best_center)
 
     best_params = unravel(jnp.asarray(best_center))
     return best_params, es_state, history

@@ -32,7 +32,8 @@ from die_tpu.ops.gaussian import gaussian_taps
 
 
 def halo_radius(dyn: FastDynamics) -> int:
-    """One step's influence radius: sensing + movement round-trip + diffusion.
+    """One step's influence radius: sensing + movement round-trip + diffusion,
+    plus two more hops when reproduction is on.
 
     Movement contributes TWO hops, not one: whether an agent at j moved
     depends on its target's accepted code (acc at j+-1), which depends on
@@ -40,9 +41,21 @@ def halo_radius(dyn: FastDynamics) -> int:
     neighbors (j+-2), whose probes reach sense_dist further.  The deposit
     mask then feeds the diffusion stencil.  A radius of sense_dist+1+G
     (the old formula) corrupts moved/dep_mask on the outermost interior
-    rows — caught by the banded-kernel bitwise test at step 3."""
+    rows — caught by the banded-kernel bitwise test at step 3.
+
+    agents_born adds TWO further hops on the agent channels (not chem —
+    deposit uses the pre-birth move markers): ``born`` at j reads the
+    neighbors' post-move fertility codes (radius sense+3), and the parents'
+    halved food reads the child cell's acceptance back (radius sense+4).
+    The agent-channel radius is therefore sense+4 while chem needs
+    sense+2+diffuse_r; the halo covers the max.  With the previous formula,
+    agents_born + diffuse_sigma < 0.5 silently diverged bitwise from the
+    unsharded step (advisor finding, round 1)."""
     diffuse_r = (len(gaussian_taps(dyn.diffuse_sigma)) - 1) // 2
-    return int(dyn.sense_dist) + 2 + diffuse_r
+    base = int(dyn.sense_dist) + 2 + diffuse_r
+    if dyn.agents_born:
+        base = max(base, int(dyn.sense_dist) + 4)
+    return base
 
 
 def _exchange_halo(field, r: int, axis_name: str, n: int):

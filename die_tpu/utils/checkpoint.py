@@ -55,11 +55,22 @@ def load_sharded(path: str | os.PathLike, like: Any) -> Any:
         return ckptr.restore(path, like)
 
 
-def save_training_state(directory: str, epoch: int, es_state, cfg) -> str:
-    """ES training checkpoint: EsState arrays + config JSON."""
+def save_training_state(directory: str, epoch: int, es_state, cfg,
+                         best_fit: float | None = None,
+                         best_center=None) -> str:
+    """ES training checkpoint: EsState arrays + config JSON.
+
+    ``best_fit``/``best_center`` (the running global best, tracked by the
+    training loops) are persisted in a ``best_*.npz`` sidecar so a resumed
+    run returns the same best_params as the uninterrupted run even when the
+    best epoch preceded the checkpoint (advisor finding, round 1)."""
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"es_{epoch:06d}.npz")
     save_pytree(path, es_state)
+    if best_center is not None:
+        with open(_best_sidecar(path), "wb") as f:
+            np.savez(f, fit=np.float64(best_fit),
+                     center=np.asarray(best_center))
     import dataclasses
 
     if dataclasses.is_dataclass(cfg):
@@ -68,7 +79,8 @@ def save_training_state(directory: str, epoch: int, es_state, cfg) -> str:
         cfg_dict = cfg._asdict()
     else:
         cfg_dict = dict(cfg)
-    meta = {"epoch": epoch, "config": cfg_dict}
+    meta = {"epoch": epoch, "config": cfg_dict,
+            "has_best": best_center is not None}
     with open(os.path.join(directory, f"es_{epoch:06d}.json"), "w") as f:
         json.dump(meta, f, indent=2, default=str)
     return path
@@ -76,3 +88,20 @@ def save_training_state(directory: str, epoch: int, es_state, cfg) -> str:
 
 def load_training_state(path: str, like_es_state):
     return load_pytree(path, like_es_state)
+
+
+def _best_sidecar(path: str) -> str:
+    """directory/es_NNNNNN.npz -> directory/best_NNNNNN.npz (kept out of
+    the es_*.npz namespace so checkpoint globs don't pick it up)."""
+    head, tail = os.path.split(str(path))
+    return os.path.join(head, tail.replace("es_", "best_", 1))
+
+
+def load_training_best(path: str):
+    """(best_fit, best_center) from the ``best_*.npz`` sidecar of an ES
+    checkpoint, or None if the checkpoint predates best-tracking."""
+    best_path = _best_sidecar(path)
+    if not os.path.exists(best_path):
+        return None
+    data = np.load(best_path)
+    return float(data["fit"]), np.asarray(data["center"])

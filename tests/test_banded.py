@@ -40,6 +40,28 @@ def test_banded_matches_unsharded(dyn):
                                atol=1e-5)
 
 
+def test_banded_born_small_sigma_multi_step():
+    """Regression (advisor, round 1): with agents_born the per-step influence
+    radius is sense+4 = 7, but the old halo (sense+2+diffuse_r = 6 at
+    sigma=0.25) only survived small K thanks to the round-up-to-8 DMA slack;
+    at K=4 (old: 24 rows, needed: 28) the band interiors corrupted."""
+    dyn = FastDynamics(agents_born=True, birth_threshold=0.5,
+                       diffuse_sigma=0.25)
+    size = (128, 128)
+    steps = 8
+    state = fast_init_jax(jr.PRNGKey(24), size, dyn)
+    key = jr.PRNGKey(25)
+    ref_state, _, ref_nums = jax.jit(
+        lambda s: fast_rollout(dyn, s, key, steps))(state)
+    band_state, _, band_nums = jax.jit(
+        lambda s: pallas_banded_rollout(dyn, s, key, steps, num_bands=2,
+                                        num_inner=4, interpret=True))(state)
+    for name in ("occ", "dir", "agent_food", "env_food", "chem"):
+        assert np.array_equal(np.asarray(getattr(ref_state, name)),
+                              np.asarray(getattr(band_state, name))), name
+    assert np.array_equal(np.asarray(ref_nums), np.asarray(band_nums))
+
+
 def test_banded_rejects_bad_geometry():
     from die_tpu.fast.pallas_step import make_pallas_banded_step
 

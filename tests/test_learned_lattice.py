@@ -138,3 +138,6 @@ def test_train_lattice_checkpoint_resume(tmp_path):
                                                start_epoch=2)
     assert hist_res == hist_ref[2:]
     assert np.array_equal(np.asarray(es_ref.center), np.asarray(es_res.center))
+    # the global best survives resume even when the best epoch preceded the
+    # checkpoint (advisor finding, round 1: best_fit was reset to -inf)
+    assert np.array_equal(np.asarray(best_ref), np.asarray(best_res))

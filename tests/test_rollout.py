@@ -103,6 +103,47 @@ def test_vmap_lockstep_equals_sequential():
                               np.asarray(res_1.state.agents)), b
 
 
+def test_choose_bands_validates_kernel_geometry():
+    """choose_bands must only return band counts the banded kernel accepts
+    (advisor finding, round 1: W=16, H=8192 landed on bands=2 with
+    W - Wb < 2r and raised instead of falling back)."""
+    from die_tpu.fast.config import FastDynamics
+    from die_tpu.fast.pallas_step import make_pallas_banded_step
+    from die_tpu.fast.rollout import choose_bands
+
+    dyn = FastDynamics()
+    for W, H in [(16, 8192), (32, 4096), (512, 512), (1024, 1024),
+                 (64, 1024), (8, 65536), (2048, 256)]:
+        bands = choose_bands(dyn, W, H)
+        assert bands >= 1, (W, H)
+        if bands > 1:
+            # constructing the kernel must not raise for the chosen count
+            make_pallas_banded_step(dyn, (W, H), bands)
+
+
+def test_perlin_resume_checks_flow_step():
+    """pallas_fast_rollout_multi precomputes perlin flow fields from t0;
+    a concrete state with flow_step != t0 must be rejected, not silently
+    given wrong-time flow fields (advisor finding, round 1)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from die_tpu.core.config import FlowConfig
+    from die_tpu.fast.config import FastDynamics
+    from die_tpu.fast.init import fast_init_jax
+    from die_tpu.fast.pallas_step import pallas_fast_rollout_multi
+
+    dyn = FastDynamics(flow=FlowConfig(kind="perlin"))
+    st = fast_init_jax(jr.PRNGKey(0), (8, 128), dyn)
+    st = st._replace(flow_step=jnp.int32(5))
+    with pytest.raises(ValueError, match="flow_step"):
+        pallas_fast_rollout_multi(dyn, st, jr.PRNGKey(1), 4, num_inner=2,
+                                  t0=0, interpret=True)
+    # matching t0 passes the check (interpret-mode smoke)
+    pallas_fast_rollout_multi(dyn, st, jr.PRNGKey(1), 4, num_inner=2,
+                              t0=5, interpret=True)
+
+
 def test_fast_rollout_auto_cpu_falls_back_to_xla():
     """On CPU the auto-selector must use the XLA scan (Pallas needs TPU)."""
     import jax.random as jr

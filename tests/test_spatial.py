@@ -48,6 +48,37 @@ def test_spatial_step_bitwise():
                           rtol=1e-5, atol=1e-4), t
 
 
+def test_spatial_step_bitwise_born_small_sigma():
+    """Regression (advisor, round 1): agents_born adds two influence hops on
+    the agent channels beyond 'moved'; with diffuse_sigma=0.25 (diffuse_r=1)
+    the old halo formula (sense+2+diffuse_r) under-covered and the sharded
+    step diverged bitwise on agent_food."""
+    dyn = FastDynamics(agents_born=True, birth_threshold=0.5,
+                       diffuse_sigma=0.25)
+    mesh = env_mesh(axis="space")
+    r = halo_radius(dyn)
+    assert r >= dyn.sense_dist + 4
+    assert SIZE[0] // mesh.shape["space"] >= r
+
+    state = fast_init_jax(jr.PRNGKey(24), SIZE, dyn)
+    key = jr.PRNGKey(25)
+    sp_step = jax.jit(make_spatial_fast_step(dyn, mesh))
+    state_s = shard_field_state(mesh, state)
+
+    ref = state
+    for t in range(4):
+        bits = jax_step_bits(dyn, key, jnp.int32(t), SIZE)
+        ref, _, ref_num = jax.jit(
+            lambda s, b: fast_step(dyn, s, b))(ref, bits)
+        state_s, _, num = sp_step(state_s, bits)
+        assert int(num) == int(ref_num), t
+        for name, a, b in zip(ref._fields, ref, state_s):
+            if name == "flow_step":
+                continue
+            assert np.array_equal(np.asarray(a), np.asarray(b)), \
+                f"{name} step {t}"
+
+
 def test_spatial_guards():
     from die_tpu.core.config import FlowConfig
 
