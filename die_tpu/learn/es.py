@@ -224,6 +224,107 @@ class CmaState(NamedTuple):
     step: object
 
 
+class FullCmaState(NamedTuple):
+    mean: object     # f32[D]
+    sigma: object    # f32[]
+    cov: object      # f32[D, D]
+    p_sigma: object  # f32[D]
+    p_c: object      # f32[D]
+    step: object     # i32[]
+
+
+class CMAES:
+    """Full-covariance CMA-ES (Hansen's tutorial update rules) — twin of the
+    reference's commented evotorch ``CMAES`` searcher
+    (/root/reference/examples/learning_agents.py:56-61).  The eigendecomposition
+    runs once per generation; at the reference's scales (popsize 10, conv
+    params ~10^2-10^3) this is negligible next to the rollouts.  For large D
+    prefer :class:`SepCMAES` (O(D) memory)."""
+
+    def __init__(self, num_params: int, popsize: int = 10,
+                 stdev_init: float = 0.1):
+        self.d = int(num_params)
+        self.popsize = int(popsize)
+        self.sigma0 = float(stdev_init)
+        d = float(self.d)
+        mu = self.popsize // 2
+        w = np.log(mu + 0.5) - np.log(np.arange(1, mu + 1))
+        self.weights = jnp.asarray((w / w.sum()).astype(np.float32))
+        self.mu = mu
+        self.mueff = float(1.0 / np.sum((w / w.sum()) ** 2))
+        self.cs = (self.mueff + 2.0) / (d + self.mueff + 5.0)
+        self.ds = 1.0 + 2.0 * max(0.0, np.sqrt((self.mueff - 1.0) /
+                                               (d + 1.0)) - 1.0) + self.cs
+        self.cc = (4.0 + self.mueff / d) / (d + 4.0 + 2.0 * self.mueff / d)
+        self.c1 = 2.0 / ((d + 1.3) ** 2 + self.mueff)
+        self.cmu = min(1.0 - self.c1,
+                       2.0 * (self.mueff - 2.0 + 1.0 / self.mueff)
+                       / ((d + 2.0) ** 2 + self.mueff))
+        self.chi_d = float(np.sqrt(d) * (1.0 - 1.0 / (4 * d)
+                                         + 1.0 / (21 * d * d)))
+
+    def init(self, center0) -> FullCmaState:
+        return FullCmaState(
+            mean=jnp.asarray(center0, jnp.float32),
+            sigma=jnp.float32(self.sigma0),
+            cov=jnp.eye(self.d, dtype=jnp.float32),
+            p_sigma=jnp.zeros((self.d,), jnp.float32),
+            p_c=jnp.zeros((self.d,), jnp.float32),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def _eig(self, cov):
+        # symmetrize before eigh; clamp eigenvalues for numerical safety
+        c = (cov + cov.T) * np.float32(0.5)
+        evals, evecs = jnp.linalg.eigh(c)
+        evals = jnp.maximum(evals, np.float32(1e-12))
+        return evals, evecs
+
+    def ask(self, state: FullCmaState, key):
+        """pop f32[popsize, D]; returns (pop, y) with y = C^{1/2} z."""
+        z = _normal(key, (self.popsize, self.d))
+        evals, evecs = self._eig(state.cov)
+        # y = B diag(sqrt(evals)) z
+        y = (z * jnp.sqrt(evals)[None, :]) @ evecs.T
+        pop = state.mean[None, :] + state.sigma * y
+        return pop, y
+
+    def tell(self, state: FullCmaState, y, fitnesses) -> FullCmaState:
+        order = jnp.argsort(-fitnesses)  # maximize
+        y_sel = y[order[:self.mu]]
+        y_w = jnp.sum(self.weights[:, None] * y_sel, axis=0)
+
+        mean = state.mean + state.sigma * y_w
+        cs, ds, cc = (np.float32(self.cs), np.float32(self.ds),
+                      np.float32(self.cc))
+        mueff = np.float32(self.mueff)
+
+        evals, evecs = self._eig(state.cov)
+        inv_sqrt = (evecs * (np.float32(1.0) / jnp.sqrt(evals))[None, :]) \
+            @ evecs.T
+        p_sigma = (1.0 - cs) * state.p_sigma \
+            + jnp.sqrt(cs * (2.0 - cs) * mueff) * (inv_sqrt @ y_w)
+        t1 = state.step.astype(jnp.float32) + np.float32(1.0)
+        ps_norm = jnp.linalg.norm(p_sigma)
+        denom = jnp.sqrt(np.float32(1.0)
+                         - (np.float32(1.0) - cs) ** (2.0 * t1))
+        hsig = (ps_norm / denom / np.float32(self.chi_d)
+                < np.float32(1.4 + 2.0 / (self.d + 1.0))).astype(jnp.float32)
+        p_c = (1.0 - cc) * state.p_c \
+            + hsig * jnp.sqrt(cc * (2.0 - cc) * mueff) * y_w
+
+        rank_mu = jnp.einsum("i,ij,ik->jk", self.weights, y_sel, y_sel)
+        c1, cmu = np.float32(self.c1), np.float32(self.cmu)
+        cov = ((1.0 - c1 - cmu) * state.cov
+               + c1 * (jnp.outer(p_c, p_c)
+                       + (1.0 - hsig) * cc * (2.0 - cc) * state.cov)
+               + cmu * rank_mu)
+        sigma = state.sigma * jnp.exp(
+            (cs / ds) * (ps_norm / np.float32(self.chi_d) - 1.0))
+        return FullCmaState(mean=mean, sigma=sigma, cov=cov,
+                            p_sigma=p_sigma, p_c=p_c, step=state.step + 1)
+
+
 class OpenAIES:
     """Antithetic OpenAI-ES with centered-rank shaping (Salimans et al. 2017)."""
 
@@ -270,6 +371,8 @@ def es_spread(state):
     """Searcher-agnostic per-parameter search spread."""
     if hasattr(state, "stdev"):
         return state.stdev
+    if hasattr(state, "cov"):
+        return state.sigma * jnp.sqrt(jnp.diagonal(state.cov))
     return state.sigma * jnp.sqrt(state.c_diag)
 
 def shard_population(mesh, axis, *arrays):

@@ -42,7 +42,7 @@ class TrainConfig:
     epoch_iters: int = 50
     popsize: int = 10
     envs_per_eval: int = 1
-    searcher: str = "pgpe"  # 'pgpe' | 'openai-es' | 'cmaes'
+    searcher: str = "pgpe"  # 'pgpe' | 'openai-es' | 'cmaes' | 'cmaes-full'
     radius_init: float = 1.5
     center_learning_rate: float = 0.05
     stdev_learning_rate: float = 0.1
@@ -67,6 +67,11 @@ def make_searcher(cfg: TrainConfig, num_params: int):
 
         return SepCMAES(num_params, popsize=cfg.popsize,
                         stdev_init=cfg.radius_init / 15.0)
+    if cfg.searcher == "cmaes-full":
+        from die_tpu.learn.es import CMAES
+
+        return CMAES(num_params, popsize=cfg.popsize,
+                     stdev_init=cfg.radius_init / 15.0)
     raise KeyError(cfg.searcher)
 
 
