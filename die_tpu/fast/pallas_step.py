@@ -420,9 +420,10 @@ def _kernel_bits_banded(dyn, k0, k1, shape, row0, total_rows):
 def make_pallas_banded_step(dyn: FastDynamics, field_size, num_bands: int,
                             batch: int = 1, num_inner: int = 1,
                             interpret: bool = False):
-    """Returns jittable ``chunk(state, site_keys) -> (state, rewards, nums)``
-    for fields too large for the whole-field VMEM kernel, over a lockstep
-    batch of ``batch`` envs and ``num_inner`` fused steps per launch.
+    """Returns jittable ``chunk(state, site_keys[, flow_stack]) ->
+    (state, rewards, nums)`` for fields too large for the whole-field VMEM
+    kernel, over a lockstep batch of ``batch`` envs and ``num_inner`` fused
+    steps per launch.
 
     State fields are ``f32[batch, W, H]``; ``site_keys`` is
     ``u32[batch, num_inner, 2]`` (per-env per-step keys, scalar-prefetched).
@@ -435,15 +436,18 @@ def make_pallas_banded_step(dyn: FastDynamics, field_size, num_bands: int,
     fold — documented divergence, as in parallel/spatial.py) and agent
     counts ``i32[batch, num_inner]``.
 
-    Requirements: W % num_bands == 0, pow2 field sizes >= (8, 128),
-    flow.kind == 'none' (flow_step is untouched when flow is none, so it
-    is carried outside the kernel).
+    Wave/perlin flow: the caller precomputes ``flow_stack`` —
+    ``f32[num_inner, W, H]``, the flow fields F(flow_step + k) shared by
+    every env of the lockstep batch (see pallas_banded_rollout_batch,
+    which derives the times from the carried ``state.flow_step``, so
+    resumed rollouts are handled) — and the kernel DMAs each inner step's
+    padded rows alongside the state halo.  Results are bitwise identical
+    to the XLA path (the applied update is the same arithmetic).
+
+    Requirements: W % num_bands == 0, pow2 field sizes >= (8, 128).
     """
     from die_tpu.parallel.spatial import halo_radius
 
-    if dyn.flow.kind != "none":
-        raise NotImplementedError("banded kernel: flow must be 'none' "
-                                  "(wave/perlin flow needs global coords)")
     W, H = field_size
     if (W & (W - 1)) or (H & (H - 1)) or W < 8 or H < 128:
         raise ValueError("banded step needs pow2 field sizes >= (8, 128)")
@@ -451,6 +455,7 @@ def make_pallas_banded_step(dyn: FastDynamics, field_size, num_bands: int,
         raise ValueError("W must divide into num_bands")
     Wb = W // num_bands
     K = num_inner
+    has_flow = dyn.flow.kind != "none"
     # DMA slices must be aligned to the 8-row sublane tiling: round the
     # K-step halo up to a multiple of 8 (extra rows are a wider margin)
     r = -(-(halo_radius(dyn) * K) // 8) * 8
@@ -462,9 +467,18 @@ def make_pallas_banded_step(dyn: FastDynamics, field_size, num_bands: int,
     Wp = Wb + 2 * r
     B = batch
 
-    def kernel(keys_ref, occ_h, dir_h, afood_h, efood_h, chem_h,
-               occ_o, dir_o, afood_o, efood_o, chem_o, reward_o, num_o,
-               s_occ, s_dir, s_afood, s_efood, s_chem, sems):
+    def kernel(keys_ref, flow_in, *refs):
+        if has_flow:
+            fstack_h = refs[0]
+            refs = refs[1:]
+        (occ_h, dir_h, afood_h, efood_h, chem_h,
+         occ_o, dir_o, afood_o, efood_o, chem_o, reward_o, num_o, flow_o,
+         s_occ, s_dir, s_afood, s_efood, s_chem) = refs[:18]
+        rest = refs[18:]
+        if has_flow:
+            s_flow, sems, fsems = rest
+        else:
+            sems, = rest
         prev = set_pallas_trace(True)
         try:
             e = pl.program_id(0)
@@ -472,13 +486,13 @@ def make_pallas_banded_step(dyn: FastDynamics, field_size, num_bands: int,
             start = pl.multiple_of(b * Wb, 8)
             top = pl.multiple_of(jax.lax.rem(start - r + W, W), 8)
             bot = pl.multiple_of(jax.lax.rem(start + Wb, W), 8)
+            slices = ((top, 0, r), (start, r, Wb), (bot, r + Wb, r))
 
             srcs = (occ_h, dir_h, afood_h, efood_h, chem_h)
             dsts = (s_occ, s_dir, s_afood, s_efood, s_chem)
             copies = []
             for i, (src, dst) in enumerate(zip(srcs, dsts)):
-                for j, (s0, d0, n) in enumerate(
-                        ((top, 0, r), (start, r, Wb), (bot, r + Wb, r))):
+                for j, (s0, d0, n) in enumerate(slices):
                     c = pltpu.make_async_copy(
                         src.at[e, pl.ds(s0, n)], dst.at[pl.ds(d0, n)],
                         sems.at[i * 3 + j])
@@ -494,7 +508,18 @@ def make_pallas_banded_step(dyn: FastDynamics, field_size, num_bands: int,
             sl = slice(r, r + Wb)
 
             def inner(k, carry):
-                occ, dirf, afood, efood, chem = carry
+                occ, dirf, afood, efood, chem, flow_step = carry
+                flow_field = None
+                if has_flow:
+                    fcopies = [pltpu.make_async_copy(
+                        fstack_h.at[k, pl.ds(s0, n)],
+                        s_flow.at[pl.ds(d0, n)], fsems.at[j])
+                        for j, (s0, d0, n) in enumerate(slices)]
+                    for c in fcopies:
+                        c.start()
+                    for c in fcopies:
+                        c.wait()
+                    flow_field = s_flow[:]
                 k0, k1 = keys_ref[e, k, 0], keys_ref[e, k, 1]
                 bits = FastStepBits(
                     rand=_kernel_bits_banded(dyn, k0, k1, shape, row0, W),
@@ -502,21 +527,25 @@ def make_pallas_banded_step(dyn: FastDynamics, field_size, num_bands: int,
                     else _kernel_prio_rot(k0, k1))
                 state = FastEnvState(occ=occ, dir=dirf, agent_food=afood,
                                      env_food=efood, chem=chem,
-                                     flow_step=jnp.int32(0))
-                ns, _, _, gained = fast_step_full(dyn, state, bits)
+                                     flow_step=flow_step)
+                ns, _, _, gained = fast_step_full(dyn, state, bits,
+                                                  flow_field=flow_field)
                 reward_o[0, b, k] = tree_sum_2d(jnp, gained[sl])
                 num_o[0, b, k] = jnp.sum(
                     (ns.occ[sl] > np.float32(0.0)).astype(jnp.int32))
-                return (ns.occ, ns.dir, ns.agent_food, ns.env_food, ns.chem)
+                return (ns.occ, ns.dir, ns.agent_food, ns.env_food, ns.chem,
+                        ns.flow_step)
 
-            carry = (s_occ[:], s_dir[:], s_afood[:], s_efood[:], s_chem[:])
-            occ, dirf, afood, efood, chem = jax.lax.fori_loop(
+            carry = (s_occ[:], s_dir[:], s_afood[:], s_efood[:], s_chem[:],
+                     flow_in[0, 0])
+            occ, dirf, afood, efood, chem, flow_step = jax.lax.fori_loop(
                 0, K, inner, carry)
             occ_o[0] = occ[sl]
             dir_o[0] = dirf[sl]
             afood_o[0] = afood[sl]
             efood_o[0] = efood[sl]
             chem_o[0] = chem[sl]
+            flow_o[0, 0] = flow_step
         finally:
             set_pallas_trace(prev)
 
@@ -526,29 +555,50 @@ def make_pallas_banded_step(dyn: FastDynamics, field_size, num_bands: int,
     per_env_spec = pl.BlockSpec((1, num_bands, K),
                                 lambda e, b, *_: (e, 0, 0),
                                 memory_space=pltpu.SMEM)
+    scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = [scalar_spec]
+    if has_flow:
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY)]
+    in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 5
+    scratch = [pltpu.VMEM((Wp, H), jnp.float32)] * 5
+    if has_flow:
+        scratch += [pltpu.VMEM((Wp, H), jnp.float32),
+                    pltpu.SemaphoreType.DMA((15,)),
+                    pltpu.SemaphoreType.DMA((3,))]
+    else:
+        scratch += [pltpu.SemaphoreType.DMA((15,))]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, num_bands),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
-        out_specs=(band_spec,) * 5 + (per_env_spec, per_env_spec),
-        scratch_shapes=[pltpu.VMEM((Wp, H), jnp.float32)] * 5
-        + [pltpu.SemaphoreType.DMA((15,))],
+        in_specs=in_specs,
+        out_specs=(band_spec,) * 5 + (per_env_spec, per_env_spec,
+                                      scalar_spec),
+        scratch_shapes=scratch,
     )
 
-    def step(state: FastEnvState, site_keys):
+    def step(state: FastEnvState, site_keys, flow_stack=None):
+        if has_flow and flow_stack is None:
+            raise ValueError("flow dynamics need the precomputed "
+                             "[num_inner, W, H] flow_stack (see "
+                             "pallas_banded_rollout_batch)")
+        args = [site_keys, state.flow_step.reshape(1, 1)]
+        if has_flow:
+            args += [flow_stack]
+        args += [state.occ, state.dir, state.agent_food, state.env_food,
+                 state.chem]
         outs = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=(field_b,) * 5 + (
                 jax.ShapeDtypeStruct((B, num_bands, K), jnp.float32),
-                jax.ShapeDtypeStruct((B, num_bands, K), jnp.int32)),
+                jax.ShapeDtypeStruct((B, num_bands, K), jnp.int32),
+                jax.ShapeDtypeStruct((1, 1), jnp.int32)),
             interpret=interpret,
-        )(site_keys, state.occ, state.dir,
-          state.agent_food, state.env_food, state.chem)
-        occ, dirf, afood, efood, chem, rewards, nums = outs
+        )(*args)
+        occ, dirf, afood, efood, chem, rewards, nums, flow = outs
         new_state = FastEnvState(occ=occ, dir=dirf, agent_food=afood,
                                  env_food=efood, chem=chem,
-                                 flow_step=state.flow_step)
+                                 flow_step=flow[0, 0])
         # band-order reward fold (documented fp32 order divergence vs the
         # whole-field pinned tree; exact for the int32 agent count)
         return new_state, jnp.sum(rewards, axis=1), jnp.sum(nums, axis=1)
@@ -583,17 +633,28 @@ def pallas_banded_rollout_batch(dyn: FastDynamics, states: FastEnvState,
     """Scan over the banded step for a lockstep batch: state fields
     ``[B, W, H]``, ``rollout_keys`` ``u32[B, 2]``, ``num_inner`` fused
     steps per kernel launch (num_steps % num_inner == 0).  Returns
-    (states, rewards[T, B], nums[T, B])."""
+    (states, rewards[T, B], nums[T, B]).
+
+    Wave/perlin flow: each chunk's flow fields F(flow_step + k) are
+    computed from the scan-carried ``flow_step`` (one shared stack for the
+    lockstep batch — no t0-based invariant) and DMA'd into the kernel."""
     assert num_steps % num_inner == 0
     B, W, H = states.occ.shape
     step = make_pallas_banded_step(dyn, (W, H), num_bands, batch=B,
                                    num_inner=num_inner, interpret=interpret)
+    has_flow = dyn.flow.kind != "none"
 
     def body(carry, ts):
         st = carry
         keys = jax.vmap(lambda k: jax.vmap(
             lambda t: site_keys_for_step(k, t))(ts))(rollout_keys)
-        st, rewards, nums = step(st, keys)  # (B, K)
+        fstack = None
+        if has_flow:
+            from die_tpu.ops.waves import flow_field_any
+
+            fstack = jax.vmap(lambda k: flow_field_any(
+                dyn.flow, (W, H), st.flow_step + k))(jnp.arange(num_inner))
+        st, rewards, nums = step(st, keys, fstack)  # (B, K)
         return st, (rewards, nums)
 
     chunks = (jnp.arange(num_steps) + t0).reshape(-1, num_inner)

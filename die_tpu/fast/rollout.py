@@ -149,7 +149,9 @@ def fast_rollout_auto(dyn: FastDynamics, state: FastEnvState, rollout_key,
             return pallas_fast_rollout_multi(dyn, state, rollout_key,
                                              num_steps, num_inner=num_inner,
                                              t0=t0)
-    if on_tpu and dyn.flow.kind == "none" and pow2_ok:
+    if on_tpu and pow2_ok:
+        # banded kernel: all flow kinds (wave/perlin stacks are computed
+        # from the carried flow_step and DMA'd per inner step)
         bands = choose_bands(dyn, W, H, vmem_budget_cells)
         if bands > 1:
             from die_tpu.fast.pallas_step import pallas_banded_rollout

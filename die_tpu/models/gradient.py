@@ -146,11 +146,23 @@ class GradientPolicy(Policy):
                                 pstate.direction_rads)
         cx = coords_to_cells(agents[ch.CH_AGT_X] + off_x, W)
         cy = coords_to_cells(agents[ch.CH_AGT_Y] + off_y, H)
-        # one 2-wide row gather instead of two scalar gathers (same values;
-        # halves the dominant serialized-gather cost on TPU)
-        g_rows = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
-        per = jnp.take(g_rows, cx * H + cy, axis=0)
-        gpx, gpy = per[:, 0], per[:, 1]
+        from die_tpu.ops.mxu_gather import (
+            mxu_gather_enabled,
+            onehot_gather_multi,
+        )
+
+        if mxu_gather_enabled() and (W * H) % 128 == 0:
+            # MXU route for the hot sense gather (bit-identical to
+            # jnp.take INCLUDING the sign of dead +-0 gradients, which
+            # atan2 observes; avoids XLA:TPU's serialized-loop lowering)
+            gpx, gpy = onehot_gather_multi(
+                (gx.reshape(-1), gy.reshape(-1)), cx * H + cy)
+        else:
+            # one 2-wide row gather instead of two scalar gathers (same
+            # values; halves the serialized-gather cost)
+            g_rows = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
+            per = jnp.take(g_rows, cx * H + cy, axis=0)
+            gpx, gpy = per[:, 0], per[:, 1]
 
         (gpx, gpy), direction, deposit_mask = self._process_gradient(
             (gpx, gpy), pstate.direction_rads, key)

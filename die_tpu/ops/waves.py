@@ -66,6 +66,18 @@ def flow_time(flow_cfg, step_index):
     return np.float32(flow_cfg.t0) + idx.astype(np.float32) * np.float32(flow_cfg.dt)
 
 
+def flow_field_any(flow_cfg, size_wh, step_index):
+    """F(flow_step) for any flow kind — the per-step field consumed by
+    ``fast_step_full(flow_field=...)``.  Wave is analytic; perlin draws
+    jax.random keys (so neither runs inside Mosaic — callers precompute and
+    DMA, see fast/pallas_step.py)."""
+    if flow_cfg.kind == "wave":
+        return wave_field(size_wh, flow_time(flow_cfg, step_index))
+    if flow_cfg.kind == "perlin":
+        return perlin_flow_field(flow_cfg, size_wh, step_index)
+    raise ValueError(flow_cfg.kind)
+
+
 def _fade_scalar(t):
     a = np.float32(6.0)
     b = np.float32(-15.0)

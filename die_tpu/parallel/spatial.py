@@ -73,21 +73,26 @@ def _exchange_halo(field, r: int, axis_name: str, n: int):
 def make_spatial_fast_step(dyn: FastDynamics, mesh: Mesh,
                            axis: str = "space"):
     """Returns jittable ``step(state, bits) -> (state, reward, num)`` with
-    every state field sharded P(axis, None) over rows."""
-    if dyn.flow.kind != "none":
-        raise NotImplementedError(
-            "spatial sharding computes on local blocks; the analytic wave "
-            "flow needs global coordinates (use data-parallel sharding)")
+    every state field sharded P(axis, None) over rows.
+
+    Wave/perlin flow: the per-step flow field F(flow_step) is computed
+    OUTSIDE the shard_map (elementwise in global coordinates — XLA SPMD
+    partitions it with the state) and enters the local step as one more
+    halo-padded operand, so the halo rows' env_food evolves exactly as in
+    the unsharded step."""
     r = halo_radius(dyn)
     n = mesh.shape[axis]
+    has_flow = dyn.flow.kind != "none"
 
-    def local_step(occ, dirf, afood, efood, chem, rand):
+    def local_step(occ, dirf, afood, efood, chem, rand, flowf):
         pad = partial(_exchange_halo, r=r, axis_name=axis, n=n)
         state = FastEnvState(occ=pad(occ), dir=pad(dirf),
                              agent_food=pad(afood), env_food=pad(efood),
                              chem=pad(chem), flow_step=jnp.int32(0))
         bits = FastStepBits(rand=pad(rand))
-        new_state, _, _, gained = fast_step_full(dyn, state, bits)
+        flow_field = pad(flowf) if has_flow else None
+        new_state, _, _, gained = fast_step_full(dyn, state, bits,
+                                                 flow_field=flow_field)
         sl = slice(r, -r)
         new_occ = new_state.occ[sl]
         # blockwise reward/num + psum (documented order divergence)
@@ -99,18 +104,27 @@ def make_spatial_fast_step(dyn: FastDynamics, mesh: Mesh,
 
     sharded = shard_map(
         local_step, mesh=mesh,
-        in_specs=(P(axis, None),) * 6,
+        in_specs=(P(axis, None),) * 7,
         out_specs=((P(axis, None),) * 5 + (P(), P())),
         check_vma=False,
     )
 
     def step(state: FastEnvState, bits: FastStepBits):
+        flow_step = state.flow_step
+        if has_flow:
+            from die_tpu.ops.waves import flow_field_any
+
+            W, H = state.occ.shape
+            flowf = flow_field_any(dyn.flow, (W, H), flow_step)
+            flow_step = flow_step + 1
+        else:
+            flowf = jnp.zeros_like(state.env_food)
         occ, dirf, afood, efood, chem, reward, num = sharded(
             state.occ, state.dir, state.agent_food, state.env_food,
-            state.chem, bits.rand)
+            state.chem, bits.rand, flowf)
         return FastEnvState(occ=occ, dir=dirf, agent_food=afood,
                             env_food=efood, chem=chem,
-                            flow_step=state.flow_step), reward, num
+                            flow_step=flow_step), reward, num
 
     return step
 
