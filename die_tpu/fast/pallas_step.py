@@ -419,7 +419,8 @@ def _kernel_bits_banded(dyn, k0, k1, shape, row0, total_rows):
 
 def make_pallas_banded_step(dyn: FastDynamics, field_size, num_bands: int,
                             batch: int = 1, num_inner: int = 1,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            double_buffer: bool = True):
     """Returns jittable ``chunk(state, site_keys[, flow_stack]) ->
     (state, rewards, nums)`` for fields too large for the whole-field VMEM
     kernel, over a lockstep batch of ``batch`` envs and ``num_inner`` fused
@@ -490,16 +491,61 @@ def make_pallas_banded_step(dyn: FastDynamics, field_size, num_bands: int,
 
             srcs = (occ_h, dir_h, afood_h, efood_h, chem_h)
             dsts = (s_occ, s_dir, s_afood, s_efood, s_chem)
-            copies = []
-            for i, (src, dst) in enumerate(zip(srcs, dsts)):
-                for j, (s0, d0, n) in enumerate(slices):
-                    c = pltpu.make_async_copy(
-                        src.at[e, pl.ds(s0, n)], dst.at[pl.ds(d0, n)],
-                        sems.at[i * 3 + j])
-                    c.start()
-                    copies.append(c)
-            for c in copies:
-                c.wait()
+            if double_buffer:
+                # two scratch buffers: wait for the block DMA'd by the
+                # PREVIOUS grid iteration, prefetch the NEXT band's block
+                # into the other buffer before computing, so HBM->VMEM
+                # transfer overlaps the step compute (VERDICT r1 next #4)
+                def band_slices(b_i):
+                    st = pl.multiple_of(b_i * Wb, 8)
+                    tp = pl.multiple_of(jax.lax.rem(st - r + W, W), 8)
+                    bt = pl.multiple_of(jax.lax.rem(st + Wb, W), 8)
+                    return ((tp, 0, r), (st, r, Wb), (bt, r + Wb, r))
+
+                def copies_for(e_i, b_i, buf):
+                    cps = []
+                    for i, (src, dst) in enumerate(zip(srcs, dsts)):
+                        for j, (s0, d0, n) in enumerate(band_slices(b_i)):
+                            cps.append(pltpu.make_async_copy(
+                                src.at[e_i, pl.ds(s0, n)],
+                                dst.at[buf, pl.ds(d0, n)],
+                                sems.at[buf, i * 3 + j]))
+                    return cps
+
+                lin = e * num_bands + b
+                par = jax.lax.rem(lin, 2)
+
+                @pl.when(lin == 0)
+                def _first():
+                    for c in copies_for(e, b, par):
+                        c.start()
+
+                nlin = lin + 1
+
+                @pl.when(nlin < B * num_bands)
+                def _prefetch():
+                    ne = nlin // num_bands
+                    nb2 = jax.lax.rem(nlin, num_bands)
+                    for c in copies_for(ne, nb2, 1 - par):
+                        c.start()
+
+                for c in copies_for(e, b, par):
+                    c.wait()
+                blocks = (s_occ[par], s_dir[par], s_afood[par],
+                          s_efood[par], s_chem[par])
+            else:
+                copies = []
+                for i, (src, dst) in enumerate(zip(srcs, dsts)):
+                    for j, (s0, d0, n) in enumerate(slices):
+                        c = pltpu.make_async_copy(
+                            src.at[e, pl.ds(s0, n)], dst.at[pl.ds(d0, n)],
+                            sems.at[i * 3 + j])
+                        c.start()
+                        copies.append(c)
+                for c in copies:
+                    c.wait()
+                blocks = (s_occ[:], s_dir[:], s_afood[:], s_efood[:],
+                          s_chem[:])
 
             shape = (Wp, H)
             row0 = jnp.asarray(top, jnp.uint32)
@@ -536,8 +582,7 @@ def make_pallas_banded_step(dyn: FastDynamics, field_size, num_bands: int,
                 return (ns.occ, ns.dir, ns.agent_food, ns.env_food, ns.chem,
                         ns.flow_step)
 
-            carry = (s_occ[:], s_dir[:], s_afood[:], s_efood[:], s_chem[:],
-                     flow_in[0, 0])
+            carry = blocks + (flow_in[0, 0],)
             occ, dirf, afood, efood, chem, flow_step = jax.lax.fori_loop(
                 0, K, inner, carry)
             occ_o[0] = occ[sl]
@@ -560,13 +605,15 @@ def make_pallas_banded_step(dyn: FastDynamics, field_size, num_bands: int,
     if has_flow:
         in_specs += [pl.BlockSpec(memory_space=pl.ANY)]
     in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 5
-    scratch = [pltpu.VMEM((Wp, H), jnp.float32)] * 5
+    buf_shape = (2, Wp, H) if double_buffer else (Wp, H)
+    sem_shape = (2, 15) if double_buffer else (15,)
+    scratch = [pltpu.VMEM(buf_shape, jnp.float32)] * 5
     if has_flow:
         scratch += [pltpu.VMEM((Wp, H), jnp.float32),
-                    pltpu.SemaphoreType.DMA((15,)),
+                    pltpu.SemaphoreType.DMA(sem_shape),
                     pltpu.SemaphoreType.DMA((3,))]
     else:
-        scratch += [pltpu.SemaphoreType.DMA((15,))]
+        scratch += [pltpu.SemaphoreType.DMA(sem_shape)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, num_bands),
@@ -609,7 +656,8 @@ def make_pallas_banded_step(dyn: FastDynamics, field_size, num_bands: int,
 def pallas_banded_rollout(dyn: FastDynamics, state: FastEnvState,
                           rollout_key, num_steps: int, num_bands: int,
                           num_inner: int = 1, t0: int = 0,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          double_buffer: bool = True):
     """Scan over the banded large-field step, single env (jit this).
     For lockstep batches use :func:`pallas_banded_rollout_batch`."""
     batched = FastEnvState(occ=state.occ[None], dir=state.dir[None],
@@ -619,7 +667,8 @@ def pallas_banded_rollout(dyn: FastDynamics, state: FastEnvState,
                            flow_step=state.flow_step)
     out, rewards, nums = pallas_banded_rollout_batch(
         dyn, batched, rollout_key[None], num_steps, num_bands,
-        num_inner=num_inner, t0=t0, interpret=interpret)
+        num_inner=num_inner, t0=t0, interpret=interpret,
+        double_buffer=double_buffer)
     return FastEnvState(occ=out.occ[0], dir=out.dir[0],
                         agent_food=out.agent_food[0],
                         env_food=out.env_food[0], chem=out.chem[0],
@@ -629,7 +678,8 @@ def pallas_banded_rollout(dyn: FastDynamics, state: FastEnvState,
 def pallas_banded_rollout_batch(dyn: FastDynamics, states: FastEnvState,
                                 rollout_keys, num_steps: int,
                                 num_bands: int, num_inner: int = 1,
-                                t0: int = 0, interpret: bool = False):
+                                t0: int = 0, interpret: bool = False,
+                                double_buffer: bool = True):
     """Scan over the banded step for a lockstep batch: state fields
     ``[B, W, H]``, ``rollout_keys`` ``u32[B, 2]``, ``num_inner`` fused
     steps per kernel launch (num_steps % num_inner == 0).  Returns
@@ -641,7 +691,8 @@ def pallas_banded_rollout_batch(dyn: FastDynamics, states: FastEnvState,
     assert num_steps % num_inner == 0
     B, W, H = states.occ.shape
     step = make_pallas_banded_step(dyn, (W, H), num_bands, batch=B,
-                                   num_inner=num_inner, interpret=interpret)
+                                   num_inner=num_inner, interpret=interpret,
+                                   double_buffer=double_buffer)
     has_flow = dyn.flow.kind != "none"
 
     def body(carry, ts):

@@ -65,7 +65,13 @@ def main():
     ap.add_argument("--field", type=int, default=128)
     ap.add_argument("--envs", type=int, default=64)
     ap.add_argument("--steps", type=int, default=16)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the JAX_PLATFORMS env var "
+                         "alone is captured too early — jax is partially "
+                         "pre-imported at interpreter startup)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     dyn = FastDynamics()
     n_dev = len(jax.devices())
@@ -83,8 +89,20 @@ def main():
                       mesh=env_mesh(1))
         rdn = measure(dyn, args.field, b, args.steps, mesh=mesh)
         eff = rdn / (n_dev * rd1) * 100
-        print(f"mesh scaling   1 dev: {rd1:,.0f}   {n_dev} dev ({b} envs): "
-              f"{rdn:,.0f}  (efficiency {eff:.1f}%)")
+        print(f"mesh scaling   1 dev ({args.envs} envs): {rd1:,.0f}   "
+              f"{n_dev} dev ({b} envs): {rdn:,.0f}  "
+              f"(per-device efficiency {eff:.1f}%)")
+        # On a virtual-device CPU mesh the devices SHARE physical cores, so
+        # per-device efficiency is not a hardware number; the meaningful
+        # quantity there is SPMD overhead: same total batch, sharded over
+        # the mesh vs run on one device.
+        r_same_1 = measure(dyn, args.field, b, args.steps, mesh=env_mesh(1))
+        ovh = rdn / r_same_1 * 100
+        print(f"SPMD overhead  {b} envs on 1 dev: {r_same_1:,.0f}   "
+              f"sharded over {n_dev}: {rdn:,.0f}  "
+              f"(sharded/unsharded {ovh:.1f}% — ~100% means the mesh adds "
+              f"no overhead; >100% on virtual CPU devices reflects "
+              f"scheduling, not hardware)")
 
 
 if __name__ == "__main__":

@@ -40,6 +40,27 @@ def test_banded_matches_unsharded(dyn):
                                atol=1e-5)
 
 
+@pytest.mark.parametrize("db", [False, True])
+def test_banded_double_buffer_bitwise(db):
+    """The double-buffered banded kernel (prefetch next band while computing
+    the current one) is bitwise identical to the single-buffered path."""
+    dyn = FastDynamics(agents_die=True)
+    size = (64, 128)
+    steps = 6
+    state = fast_init_jax(jr.PRNGKey(8), size, dyn)
+    key = jr.PRNGKey(9)
+    ref_state, _, ref_nums = jax.jit(
+        lambda s: fast_rollout(dyn, s, key, steps))(state)
+    band_state, _, band_nums = jax.jit(
+        lambda s: pallas_banded_rollout(dyn, s, key, steps, num_bands=4,
+                                        interpret=True, double_buffer=db)
+    )(state)
+    for name in ("occ", "dir", "agent_food", "env_food", "chem"):
+        assert np.array_equal(np.asarray(getattr(ref_state, name)),
+                              np.asarray(getattr(band_state, name))), name
+    assert np.array_equal(np.asarray(ref_nums), np.asarray(band_nums))
+
+
 def test_banded_born_small_sigma_multi_step():
     """Regression (advisor, round 1): with agents_born the per-step influence
     radius is sense+4 = 7, but the old halo (sense+2+diffuse_r = 6 at
