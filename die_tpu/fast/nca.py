@@ -30,9 +30,15 @@ NUM_FEATURES = 7  # left, fwd, right, occ, agent_food, env_food, chem
 class ConvTurnParams(NamedTuple):
     conv: object  # f32[hidden, 7, 3, 3]
     head: object  # f32[3, hidden, 1, 1]
+    bias: object = None  # f32[3] head bias (None = zeros; pre-r2 ckpts)
 
 
-def init_conv_turn_params(key, hidden: int = 8) -> ConvTurnParams:
+def init_conv_turn_params(key, hidden: int = 8,
+                          keep_bias: float = 0.5) -> ConvTurnParams:
+    """``keep_bias`` pre-loads the 'keep' logit so untrained populations
+    still move coherently — the same trick that made the linear rule
+    trainable (die_tpu/fast/learned.py init); round-1's bias-free conv
+    plateaued at Jones parity."""
     import jax.numpy as jnp
     import jax.random as jr
 
@@ -43,15 +49,17 @@ def init_conv_turn_params(key, hidden: int = 8) -> ConvTurnParams:
         u = uniform01_from_bits(jr.bits(k, shape, jnp.uint32))
         return (np.float32(2.0) * u - _F1) * bound
 
+    bias = jnp.asarray([0.0, keep_bias, 0.0], jnp.float32)
     return ConvTurnParams(
         conv=draw(jr.fold_in(key, 0), (hidden, NUM_FEATURES, 3, 3),
                   NUM_FEATURES, hidden, 3),
         head=draw(jr.fold_in(key, 1), (3, hidden, 1, 1), hidden, 3, 1),
+        bias=bias,
     )
 
 
-def np_init_conv_turn_params(key: np.ndarray,
-                             hidden: int = 8) -> ConvTurnParams:
+def np_init_conv_turn_params(key: np.ndarray, hidden: int = 8,
+                             keep_bias: float = 0.5) -> ConvTurnParams:
     from die_tpu.core.rng import (
         np_fold_in,
         np_random_bits,
@@ -63,10 +71,12 @@ def np_init_conv_turn_params(key: np.ndarray,
         u = uniform01_from_bits(np_random_bits(k, shape))
         return (np.float32(2.0) * u - _F1) * bound
 
+    bias = np.asarray([0.0, keep_bias, 0.0], np.float32)
     return ConvTurnParams(
         conv=draw(np_fold_in(key, 0), (hidden, NUM_FEATURES, 3, 3),
                   NUM_FEATURES, hidden, 3),
         head=draw(np_fold_in(key, 1), (3, hidden, 1, 1), hidden, 3, 1),
+        bias=bias,
     )
 
 
@@ -77,6 +87,10 @@ def make_conv_turn_rule(params: ConvTurnParams):
         hiddenf = tanh(circular_conv(field, params.conv))
         logits = circular_conv(hiddenf, params.head)
         l_left, l_keep, l_right = logits[0], logits[1], logits[2]
+        if params.bias is not None:
+            l_left = l_left + params.bias[0]
+            l_keep = l_keep + params.bias[1]
+            l_right = l_right + params.bias[2]
         m = xp.maximum(l_keep, l_left)
         return xp.where(l_right > m, -_F1,
                         xp.where(l_left > l_keep, _F1, _F0))
@@ -124,7 +138,9 @@ def oracle_conv_nca_rollout(dyn: FastDynamics, params: ConvTurnParams,
 
 
 def train_conv_nca(dyn: FastDynamics, cfg, hidden: int = 8, log_fn=None,
-                   mesh=None, mesh_axis="pop"):
+                   mesh=None, mesh_axis="pop", keep_bias: float = 0.5,
+                   center_learning_rate: float = 0.05,
+                   radius_init: float = 0.5, max_speed: float = 0.1):
     """PGPE neuroevolution of the conv turn rule (cfg: LatticeTrainConfig)."""
     import jax
     import jax.numpy as jnp
@@ -134,11 +150,12 @@ def train_conv_nca(dyn: FastDynamics, cfg, hidden: int = 8, log_fn=None,
     from die_tpu.fast.init import fast_init_jax
     from die_tpu.learn.es import PGPE
 
-    params0 = init_conv_turn_params(jr.PRNGKey(cfg.seed), hidden)
+    params0 = init_conv_turn_params(jr.PRNGKey(cfg.seed), hidden,
+                                    keep_bias=keep_bias)
     flat0, unravel = ravel_pytree(tuple(params0))
     searcher = PGPE(flat0.shape[0], popsize=cfg.popsize,
-                    center_learning_rate=0.05, radius_init=0.5,
-                    max_speed=0.1)
+                    center_learning_rate=center_learning_rate,
+                    radius_init=radius_init, max_speed=max_speed)
     es_state = searcher.init(flat0)
 
     def eval_member(flat_params, member_key):

@@ -10,8 +10,10 @@ threefry2x32 cipher as the RNG contract (integer ops lower exactly), so the
 trajectory stays bit-compatible with the NumPy oracle while the three
 256 KB bit-fields per step never touch HBM.
 
-Limitations of the kernel path (guarded): flow.kind == 'none' (wave flow
-runs in the XLA path), pow2 field sizes >= (8, 128).
+Limitations of the kernel path (guarded): pow2 field sizes >= (8, 128).
+Wave flow evaluates in-kernel (analytic, contract sincos); perlin flow
+fields are precomputed outside (jax.random draws cannot lower in Mosaic)
+and DMA'd in — both in the whole-field and the banded kernel.
 """
 from __future__ import annotations
 

@@ -64,7 +64,8 @@ def main():
                                                  hidden=args.hidden,
                                                  log_fn=sink)
         np.savez(os.path.join(run_dir, f"{stamp}.npz"),
-                 conv=np.asarray(best.conv), head=np.asarray(best.head))
+                 conv=np.asarray(best.conv), head=np.asarray(best.head),
+                 bias=np.asarray(best.bias))
     sink.close()
     first, last = history[0]["best"], max(h["best"] for h in history)
     print(json.dumps({"first_epoch_best": first, "overall_best": last,

@@ -56,13 +56,16 @@ def main():
 
     keys = jax.vmap(lambda i: jr.fold_in(jr.PRNGKey(0), i))(jnp.arange(B))
     states = jax.jit(jax.vmap(lambda k: fast_init_jax(k, (W, H), dyn)))(keys)
+    # the banded batch API carries ONE shared flow_step for the lockstep
+    # batch (vmapped init produces a per-env copy)
+    states_b = states._replace(flow_step=jnp.zeros((), jnp.int32))
     rkeys = jax.vmap(lambda i: jr.fold_in(jr.PRNGKey(1), i))(jnp.arange(B))
 
     for db, tag in ((False, "single_buf"), (True, "double_buf")):
         run = jax.jit(lambda s, k, db=db: pallas_banded_rollout_batch(
             dyn, s, k, T, num_bands=bands, double_buffer=db))
         try:
-            b = timed(run, states, rkeys)
+            b = timed(run, states_b, rkeys)
             log(item=f"banded_{tag}_{W}x{H}",
                 env_steps_per_s=round(B * T / b, 1))
         except Exception as e:
