@@ -140,8 +140,17 @@ def oracle_conv_nca_rollout(dyn: FastDynamics, params: ConvTurnParams,
 def train_conv_nca(dyn: FastDynamics, cfg, hidden: int = 8, log_fn=None,
                    mesh=None, mesh_axis="pop", keep_bias: float = 0.5,
                    center_learning_rate: float = 0.05,
-                   radius_init: float = 0.5, max_speed: float = 0.1):
-    """PGPE neuroevolution of the conv turn rule (cfg: LatticeTrainConfig)."""
+                   radius_init: float = 0.5, max_speed: float = 0.1,
+                   common_random_envs: bool = False):
+    """PGPE neuroevolution of the conv turn rule (cfg: LatticeTrainConfig).
+
+    ``common_random_envs``: evaluate every population member of a
+    generation on the SAME envs/rollout streams (fresh set each
+    generation).  This is the classic common-random-numbers variance
+    reduction for ES fitness comparisons — without it the ~3.7K-parameter
+    conv rule optimizes evaluation noise (round-2 sweep: train_best ~330
+    vs held-out ~265).  Off by default to keep earlier runs reproducible.
+    """
     import jax
     import jax.numpy as jnp
     import jax.random as jr
@@ -173,9 +182,15 @@ def train_conv_nca(dyn: FastDynamics, cfg, hidden: int = 8, log_fn=None,
     @jax.jit
     def generation(es_state, key):
         pop, eps = searcher.ask(es_state, jr.fold_in(key, 0))
-        member_keys = jax.vmap(
-            lambda i: jr.fold_in(jr.fold_in(key, 1), i)
-        )(jnp.arange(cfg.popsize))
+        if common_random_envs:
+            # one shared eval key per generation: every member sees the
+            # same envs and bit streams, so fitness DIFFERENCES are exact
+            member_keys = jnp.broadcast_to(
+                jnp.asarray(jr.fold_in(key, 1)), (cfg.popsize, 2))
+        else:
+            member_keys = jax.vmap(
+                lambda i: jr.fold_in(jr.fold_in(key, 1), i)
+            )(jnp.arange(cfg.popsize))
         from die_tpu.learn.es import shard_population, unshard_population
 
         pop, member_keys = shard_population(mesh, mesh_axis, pop,

@@ -61,9 +61,18 @@ def main():
     states_b = states._replace(flow_step=jnp.zeros((), jnp.int32))
     rkeys = jax.vmap(lambda i: jr.fold_in(jr.PRNGKey(1), i))(jnp.arange(B))
 
-    for db, tag in ((False, "single_buf"), (True, "double_buf")):
-        run = jax.jit(lambda s, k, db=db: pallas_banded_rollout_batch(
-            dyn, s, k, T, num_bands=bands, double_buffer=db))
+    variants = [(bands, 1, False, "single_buf"),
+                (bands, 1, True, "double_buf")]
+    if bands > 2:
+        variants += [(bands // 2, 1, True, f"double_buf_b{bands // 2}")]
+    variants += [(bands, 2, True, "double_buf_k2")]
+    for nb, k_in, db, tag in variants:
+        if T % k_in:
+            continue
+        run = jax.jit(lambda s, k, nb=nb, k_in=k_in, db=db:
+                      pallas_banded_rollout_batch(
+                          dyn, s, k, T, num_bands=nb, num_inner=k_in,
+                          double_buffer=db))
         try:
             b = timed(run, states_b, rkeys)
             log(item=f"banded_{tag}_{W}x{H}",

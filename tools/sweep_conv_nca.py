@@ -60,18 +60,24 @@ def main():
 
     configs = [
         # (tag, hidden, epochs, popsize, envs_per_eval, keep_bias,
-        #  radius, lr, max_speed, seed)
-        ("bias_base", 8, 150, 32, 4, 0.5, 0.5, 0.05, 0.1, 0),
-        ("bias_wide", 8, 150, 32, 4, 0.5, 1.0, 0.1, 0.2, 1),
-        ("bias_h4", 4, 150, 32, 4, 0.5, 0.5, 0.05, 0.1, 2),
-        ("bias_long", 8, 300, 32, 4, 0.5, 0.5, 0.05, 0.1, 3),
+        #  radius, lr, max_speed, seed, crn)
+        ("bias_base", 8, 150, 32, 4, 0.5, 0.5, 0.05, 0.1, 0, False),
+        ("bias_wide", 8, 150, 32, 4, 0.5, 1.0, 0.1, 0.2, 1, False),
+        ("bias_h4", 4, 150, 32, 4, 0.5, 0.5, 0.05, 0.1, 2, False),
+        ("bias_long", 8, 300, 32, 4, 0.5, 0.5, 0.05, 0.1, 3, False),
+        # round 2: common-random-numbers fitness (variance reduction)
+        ("crn_base", 8, 150, 32, 4, 0.5, 0.5, 0.05, 0.1, 0, True),
+        ("crn_e8", 8, 200, 32, 8, 0.5, 0.5, 0.05, 0.1, 1, True),
+        ("crn_long", 8, 400, 32, 8, 0.5, 0.5, 0.05, 0.1, 2, True),
+        ("crn_pop64", 8, 200, 64, 8, 0.5, 0.5, 0.05, 0.1, 3, True),
     ]
     if len(sys.argv) > 1:
         want = set(sys.argv[1].split(","))
         configs = [c for c in configs if c[0] in want]
 
     best_overall, best_tag, best_params = -np.inf, None, None
-    for (tag, hidden, epochs, pop, epe, kb, rad, lr, ms, seed) in configs:
+    for (tag, hidden, epochs, pop, epe, kb, rad, lr, ms, seed,
+         crn) in configs:
         t0 = time.time()
         try:
             cfg = LatticeTrainConfig(field_size=(SIZE, SIZE), epochs=epochs,
@@ -79,7 +85,8 @@ def main():
                                      envs_per_eval=epe, seed=seed)
             params, _, hist = train_conv_nca(
                 DYN, cfg, hidden=hidden, keep_bias=kb,
-                center_learning_rate=lr, radius_init=rad, max_speed=ms)
+                center_learning_rate=lr, radius_init=rad, max_speed=ms,
+                common_random_envs=crn)
             score = heldout(lambda s, k: conv_nca_rollout(
                 DYN, params, s, k, STEPS))
             log(item=tag, heldout=round(score, 1),
