@@ -28,8 +28,10 @@ def load_params(path):
     data = np.load(path)
     if "params" in data:
         return "linear", jnp.asarray(data["params"])
+    bias = jnp.asarray(data["bias"]) if "bias" in data else None
     return "conv", ConvTurnParams(conv=jnp.asarray(data["conv"]),
-                                  head=jnp.asarray(data["head"]))
+                                  head=jnp.asarray(data["head"]),
+                                  bias=bias)
 
 
 def main():

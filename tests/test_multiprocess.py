@@ -61,3 +61,61 @@ def test_two_process_rollout_matches_single():
         lambda s, k: fast_rollout(dyn, s, k, STEPS)))(states, keys)
     # fp32 printed with 6 decimals — compare at print precision
     assert np.allclose(rewards_mp, np.asarray(rewards), atol=5e-5)
+
+
+SPATIAL_WORKER = os.path.join(os.path.dirname(__file__), "helpers",
+                              "mp_spatial_worker.py")
+
+
+@pytest.mark.slow
+def test_two_process_spatial_rollout_matches_single():
+    """Field rows sharded across a REAL 2-process cluster (halo exchange
+    crosses the process boundary; wave flow active): final-state digests
+    must be bitwise identical to the single-process unsharded rollout."""
+    from die_tpu.core.config import FlowConfig
+    from die_tpu.core.rng import np_key
+    from die_tpu.fast.init import fast_init_np
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    # keep the bit-exactness flags (FMA contraction would break the wave
+    # sincos parity) but NOT the 8-virtual-device flag
+    env["XLA_FLAGS"] = ("--xla_cpu_max_isa=AVX "
+                        "--xla_disable_hlo_passes=algsimp")
+    procs = [subprocess.Popen(
+        [sys.executable, SPATIAL_WORKER, str(pid), "2", "23791"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err[-2000:]
+        outs.append(out)
+
+    digests, nums_mp = set(), None
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("DIGEST"):
+                digests.add(line)
+            if line.startswith("NUMS"):
+                nums_mp = [int(v) for v in line.split()[1:]]
+    assert len(digests) == 1, digests  # both processes agree
+
+    # single-process unsharded reference with identical init/keys
+    dyn = FastDynamics(flow=FlowConfig(kind="wave"))
+    full = fast_init_np(np_key(3), (32, 32), dyn)
+    state = jax.tree.map(jnp.asarray, full)
+    out_ref, _, nums_ref = jax.jit(
+        lambda s: fast_rollout(dyn, s, jr.PRNGKey(9), 4))(state)
+    assert nums_mp == [int(v) for v in np.asarray(nums_ref)]
+
+    def digest(chem):
+        bits = np.asarray(chem).view(np.uint32)
+        with np.errstate(over="ignore"):
+            return int(np.add.reduce(bits.reshape(-1), dtype=np.uint32))
+
+    line = digests.pop().split()
+    assert float(line[1]) == float(np.asarray(jnp.sum(out_ref.occ)))
+    assert int(line[2]) == digest(out_ref.chem)
+    assert int(line[3]) == digest(out_ref.env_food)
+    assert int(line[4]) == digest(out_ref.agent_food)
