@@ -12,6 +12,9 @@ import matplotlib
 import numpy as np
 
 import jax
+
+if _os.environ.get("DIE_TPU_CPU"):  # force CPU (env var alone is too late)
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import jax.random as jr
 

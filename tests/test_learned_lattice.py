@@ -97,6 +97,42 @@ def test_conv_nca_train_smoke():
     assert all(np.isfinite(h["best"]) for h in history)
 
 
+def test_committed_conv_artifact_beats_jones():
+    """The committed conv-NCA checkpoint (docs/artifacts, trained by
+    tools/sweep_conv_nca.py crn_pop64: held-out 340.5 vs Jones 283.1 on
+    the full 32-seed block) outforages the handcrafted Jones rule on a
+    held-out seed block — the capability the reference trains toward
+    (/root/reference/examples/learning_agents.py:84-87)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from die_tpu.fast.nca import ConvTurnParams, conv_nca_rollout
+    from die_tpu.fast.rollout import fast_rollout
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir,
+                        "docs", "artifacts", "lattice_conv_beats_jones.npz")
+    data = np.load(path)
+    params = ConvTurnParams(conv=jnp.asarray(data["conv"]),
+                            head=jnp.asarray(data["head"]),
+                            bias=jnp.asarray(data["bias"]))
+    dyn = FastDynamics(init_agent_ratio=0.15, food_infinite=True)
+    size, steps, seed0 = (64, 64), 50, 10_000  # sweep's held-out protocol
+
+    def heldout(roll_fn, n_seeds=6):
+        def one(i):
+            st = fast_init_jax(jr.fold_in(jr.PRNGKey(seed0), i), size, dyn)
+            _, rewards, _ = roll_fn(st, jr.fold_in(jr.PRNGKey(seed0 + 1), i))
+            return jnp.sum(rewards)
+
+        return float(np.mean(np.asarray(
+            jax.jit(jax.vmap(one))(jnp.arange(n_seeds)))))
+
+    jones = heldout(lambda s, k: fast_rollout(dyn, s, k, steps))
+    conv = heldout(lambda s, k: conv_nca_rollout(dyn, params, s, k, steps))
+    assert conv > jones
+
+
 def test_population_sharded_training_identical():
     """ES with the population sharded over an 8-device mesh reproduces the
     unsharded training run exactly (SURVEY §5.8 population sharding)."""
