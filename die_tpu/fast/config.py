@@ -30,7 +30,9 @@ from die_tpu.core.config import FlowConfig
 @dataclass(frozen=True)
 class FastDynamics:
     # lattice resolution: 8 (Moore, 45-degree turns — the faithful Physarum
-    # lattice) or 4 (von Neumann, 90-degree turns — ~1.7x faster)
+    # lattice), 4 (von Neumann, 90-degree turns — ~1.7x faster), or 16
+    # (Moore + knight offsets, ~22.5-degree turns — closest to the
+    # reference's default 30-degree turn_angle, ~2x slower than 8)
     num_dirs: int = 8
     # sensing: probe chem at sense_dist cells along heading and heading +-1
     sense_dist: int = 3
@@ -93,3 +95,25 @@ DIR_OFFSETS = (
     (1, 1),    # 7: SE
 )
 NUM_DIRS = 8
+
+# 16 lattice directions (~22.5-degree turns): the Moore neighborhood
+# interleaved with the eight distance-sqrt(5) knight offsets, CCW from East;
+# offsets[(d + 8) % 16] == -offsets[d].
+DIR_OFFSETS_16 = (
+    (0, 1),    # 0: E
+    (-1, 2),   # 1: ENE
+    (-1, 1),   # 2: NE
+    (-2, 1),   # 3: NNE
+    (-1, 0),   # 4: N
+    (-2, -1),  # 5: NNW
+    (-1, -1),  # 6: NW
+    (-1, -2),  # 7: WNW
+    (0, -1),   # 8: W
+    (1, -2),   # 9: WSW
+    (1, -1),   # 10: SW
+    (2, -1),   # 11: SSW
+    (1, 0),    # 12: S
+    (2, 1),    # 13: SSE
+    (1, 1),    # 14: SE
+    (1, 2),    # 15: ESE
+)

@@ -422,7 +422,8 @@ def _kernel_bits_banded(dyn, k0, k1, shape, row0, total_rows):
 def make_pallas_banded_step(dyn: FastDynamics, field_size, num_bands: int,
                             batch: int = 1, num_inner: int = 1,
                             interpret: bool = False,
-                            double_buffer: bool = True):
+                            double_buffer: bool = True,
+                            _debug: str = None):
     """Returns jittable ``chunk(state, site_keys[, flow_stack]) ->
     (state, rewards, nums)`` for fields too large for the whole-field VMEM
     kernel, over a lockstep batch of ``batch`` envs and ``num_inner`` fused
@@ -469,6 +470,11 @@ def make_pallas_banded_step(dyn: FastDynamics, field_size, num_bands: int,
         raise ValueError(f"band height {Wb} must be a multiple of 8")
     Wp = Wb + 2 * r
     B = batch
+    # _debug: overhead-attribution variants for tools/bench_banded2.py —
+    # 'nocompute' skips the step body (measures DMA + grid machinery);
+    # 'nodma' only copies on the first grid step (measures compute + grid).
+    skip_compute = _debug in ("nocompute", "grid")
+    skip_dma = _debug in ("nodma", "grid")
 
     def kernel(keys_ref, flow_in, *refs):
         if has_flow:
@@ -524,15 +530,21 @@ def make_pallas_banded_step(dyn: FastDynamics, field_size, num_bands: int,
 
                 nlin = lin + 1
 
-                @pl.when(nlin < B * num_bands)
+                @pl.when(nlin < (1 if skip_dma else B * num_bands))
                 def _prefetch():
                     ne = nlin // num_bands
                     nb2 = jax.lax.rem(nlin, num_bands)
                     for c in copies_for(ne, nb2, 1 - par):
                         c.start()
 
-                for c in copies_for(e, b, par):
-                    c.wait()
+                if skip_dma:
+                    @pl.when(lin == 0)
+                    def _wait_first():
+                        for c in copies_for(e, b, par):
+                            c.wait()
+                else:
+                    for c in copies_for(e, b, par):
+                        c.wait()
                 blocks = (s_occ[par], s_dir[par], s_afood[par],
                           s_efood[par], s_chem[par])
             else:
@@ -585,8 +597,15 @@ def make_pallas_banded_step(dyn: FastDynamics, field_size, num_bands: int,
                         ns.flow_step)
 
             carry = blocks + (flow_in[0, 0],)
-            occ, dirf, afood, efood, chem, flow_step = jax.lax.fori_loop(
-                0, K, inner, carry)
+            if skip_compute:
+                for k in range(K):
+                    reward_o[0, b, k] = np.float32(0.0)
+                    num_o[0, b, k] = np.int32(0)
+                occ, dirf, afood, efood, chem = blocks
+                flow_step = flow_in[0, 0]
+            else:
+                occ, dirf, afood, efood, chem, flow_step = jax.lax.fori_loop(
+                    0, K, inner, carry)
             occ_o[0] = occ[sl]
             dir_o[0] = dirf[sl]
             afood_o[0] = afood[sl]

@@ -140,6 +140,11 @@ def fast_rollout_auto(dyn: FastDynamics, state: FastEnvState, rollout_key,
     W, H = state.occ.shape
     pow2_ok = (W & (W - 1)) == 0 and (H & (H - 1)) == 0 and W >= 8 and H >= 128
     on_tpu = jax.default_backend() == "tpu"
+    if dyn.num_dirs == 16:
+        # ~2x the rolled intermediates of the Moore lattice: the 256^2
+        # whole-field kernel overflows VMEM (remote-compile crash, measured);
+        # 128^2 whole-field and 256^2 banded both compile and run
+        vmem_budget_cells //= 4
     if on_tpu and pow2_ok:
         # whole-field kernel handles all flow kinds (perlin fields are
         # precomputed and DMA'd); the banded kernel needs flow == 'none'

@@ -50,11 +50,16 @@ def halo_radius(dyn: FastDynamics) -> int:
     The agent-channel radius is therefore sense+4 while chem needs
     sense+2+diffuse_r; the halo covers the max.  With the previous formula,
     agents_born + diffuse_sigma < 0.5 silently diverged bitwise from the
-    unsharded step (advisor finding, round 1)."""
+    unsharded step (advisor finding, round 1).
+
+    The 16-direction lattice's knight offsets reach TWO rows per hop
+    (sensing probes at sense_dist reach 2*sense_dist rows), so every term
+    except the diffusion radius doubles."""
     diffuse_r = (len(gaussian_taps(dyn.diffuse_sigma)) - 1) // 2
-    base = int(dyn.sense_dist) + 2 + diffuse_r
+    hop = 2 if dyn.num_dirs == 16 else 1
+    base = hop * (int(dyn.sense_dist) + 2) + diffuse_r
     if dyn.agents_born:
-        base = max(base, int(dyn.sense_dist) + 4)
+        base = max(base, hop * (int(dyn.sense_dist) + 4))
     return base
 
 

@@ -61,6 +61,31 @@ def test_banded_double_buffer_bitwise(db):
     assert np.array_equal(np.asarray(ref_nums), np.asarray(band_nums))
 
 
+def test_banded_flow_multibatch_bitwise():
+    """Banded kernel with wave flow, K=2 inner steps, and a lockstep batch
+    of 3 envs: bitwise vs per-env XLA rollouts."""
+    from die_tpu.core.config import FlowConfig
+    from die_tpu.fast.pallas_step import pallas_banded_rollout_batch
+
+    dyn = FastDynamics(flow=FlowConfig(kind="wave"))
+    size = (64, 128)
+    steps, B = 4, 3
+    keys = jnp.stack([jr.PRNGKey(40 + i) for i in range(B)])
+    states = jax.vmap(lambda k: fast_init_jax(k, size, dyn))(keys)
+    states_b = states._replace(flow_step=jnp.zeros((), jnp.int32))
+    rkeys = jnp.stack([jr.PRNGKey(50 + i) for i in range(B)])
+
+    ref_st, _, ref_nums = jax.jit(jax.vmap(
+        lambda s, k: fast_rollout(dyn, s, k, steps)))(states, rkeys)
+    out, _, nums = jax.jit(lambda s, k: pallas_banded_rollout_batch(
+        dyn, s, k, steps, num_bands=2, num_inner=2, interpret=True,
+    ))(states_b, rkeys)
+    for name in ("occ", "dir", "agent_food", "env_food", "chem"):
+        assert np.array_equal(np.asarray(getattr(ref_st, name)),
+                              np.asarray(getattr(out, name))), name
+    assert np.array_equal(np.asarray(ref_nums), np.asarray(nums).T)
+
+
 def test_banded_born_small_sigma_multi_step():
     """Regression (advisor, round 1): with agents_born the per-step influence
     radius is sense+4 = 7, but the old halo (sense+2+diffuse_r = 6 at

@@ -161,6 +161,56 @@ def test_four_direction_lattice():
     assert not np.array_equal(st_np.occ, o_state.occ)
 
 
+def test_sixteen_direction_lattice():
+    """num_dirs=16 (Moore + knight offsets, ~22.5-degree turns — closest to
+    the reference's default 30-degree turn_angle): bitwise oracle parity,
+    conservation, movement, and use of the odd (knight) headings."""
+    dyn = FastDynamics(num_dirs=16)
+    st_np = fast_init_np(np_key(61), SIZE, dyn)
+    st_j = fast_init_jax(jr.PRNGKey(61), SIZE, dyn)
+    o_state, o_rew, o_num = oracle_fast_rollout(dyn, st_np, np_key(62), 10)
+    j_state, j_rew, j_num = jax.jit(
+        lambda s: fast_rollout(dyn, s, jr.PRNGKey(62), 10))(st_j)
+    assert np.array_equal(o_rew, np.asarray(j_rew))
+    for x, y in zip(o_state[:-1], j_state[:-1]):
+        assert np.array_equal(x, np.asarray(y))
+    dirs = o_state.dir[o_state.occ > 0]
+    assert dirs.max() <= 15
+    assert np.any(dirs % 2 == 1)  # knight headings actually occur
+    assert o_num[-1] == int(st_np.occ.sum())  # population conserved
+    assert not np.array_equal(st_np.occ, o_state.occ)  # agents move
+
+
+def test_sixteen_direction_born_die():
+    """16-dir lattice with the full lifecycle (birth bits use the wider
+    4-bit carving): oracle parity and food-mass conservation through
+    births."""
+    dyn = FastDynamics(num_dirs=16, agents_born=True, agents_die=True,
+                       birth_threshold=0.5, food_infinite=True)
+    st_np = fast_init_np(np_key(63), SIZE, dyn)
+    st_j = fast_init_jax(jr.PRNGKey(63), SIZE, dyn)
+    o_state, o_rew, o_num = oracle_fast_rollout(dyn, st_np, np_key(64), 12)
+    j_state, j_rew, j_num = jax.jit(
+        lambda s: fast_rollout(dyn, s, jr.PRNGKey(64), 12))(st_j)
+    assert np.array_equal(o_rew, np.asarray(j_rew))
+    assert np.array_equal(o_num, np.asarray(j_num))
+    for x, y in zip(o_state[:-1], j_state[:-1]):
+        assert np.array_equal(x, np.asarray(y))
+
+
+def test_sixteen_direction_pallas_interpret():
+    from die_tpu.fast.pallas_step import pallas_fast_rollout
+
+    dyn = FastDynamics(num_dirs=16)
+    st = fast_init_jax(jr.PRNGKey(65), (8, 128), dyn)
+    ref = jax.jit(lambda s: fast_rollout(dyn, s, jr.PRNGKey(66), 4))(st)
+    pal = jax.jit(lambda s: pallas_fast_rollout(dyn, s, jr.PRNGKey(66), 4,
+                                                interpret=True))(st)
+    assert np.array_equal(np.asarray(ref[1]), np.asarray(pal[1]))
+    assert np.array_equal(np.asarray(ref[0].occ), np.asarray(pal[0].occ))
+    assert np.array_equal(np.asarray(ref[0].dir), np.asarray(pal[0].dir))
+
+
 def test_per_step_priority_variant():
     dyn = FastDynamics(per_cell_priority=False)
     st_np = fast_init_np(np_key(21), SIZE, dyn)
