@@ -211,6 +211,21 @@ def test_sixteen_direction_pallas_interpret():
     assert np.array_equal(np.asarray(ref[0].dir), np.asarray(pal[0].dir))
 
 
+def test_sixteen_direction_band_routing():
+    """16-dir auto-routing: the 256^2 whole-field kernel overflows VMEM
+    (~2x rolled intermediates), so choose_bands must route 256^2 to the
+    banded kernel under the shrunken budget while 128^2 stays whole-field
+    (both measured on v5e — docs/PERF.md)."""
+    from die_tpu.fast.rollout import choose_bands
+
+    d16 = FastDynamics(num_dirs=16)
+    budget16 = 256 * 256 // 4  # fast_rollout_auto's num_dirs=16 budget
+    assert choose_bands(d16, 256, 256, budget16) > 1
+    assert 128 * 128 <= budget16  # 128^2 stays on the whole-field kernel
+    # the default budget routes 8-dir 256^2 to the whole-field kernel
+    assert choose_bands(FastDynamics(), 256, 256, 256 * 256) == 1
+
+
 def test_per_step_priority_variant():
     dyn = FastDynamics(per_cell_priority=False)
     st_np = fast_init_np(np_key(21), SIZE, dyn)
