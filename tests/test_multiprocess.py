@@ -63,6 +63,60 @@ def test_two_process_rollout_matches_single():
     assert np.allclose(rewards_mp, np.asarray(rewards), atol=5e-5)
 
 
+ES_WORKER = os.path.join(os.path.dirname(__file__), "helpers",
+                         "mp_es_worker.py")
+
+
+@pytest.mark.slow
+def test_two_process_es_training_matches_single():
+    """Population-sharded ES training over a REAL 2-process cluster (the
+    learning loop of SURVEY §5.8: fitness evaluation data-parallel across
+    hosts): history and final ES center must be bitwise identical to the
+    unsharded single-process run."""
+    from die_tpu.fast.learned import LatticeTrainConfig, train_lattice
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    # bit-exactness flags, but not the 8-virtual-device flag
+    env["XLA_FLAGS"] = ("--xla_cpu_max_isa=AVX "
+                        "--xla_disable_hlo_passes=algsimp")
+    procs = [subprocess.Popen(
+        [sys.executable, ES_WORKER, str(pid), "2", "23793"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err[-2000:]
+        outs.append(out)
+
+    hists, digests, bests = set(), set(), set()
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("HISTORY"):
+                hists.add(line)
+            elif line.startswith("CENTER_DIGEST"):
+                digests.add(line)
+            elif line.startswith("BEST"):
+                bests.add(line)
+    assert len(hists) == 1 and len(digests) == 1 and len(bests) == 1
+
+    # single-process unsharded reference (same config/seed as the worker)
+    dyn = FastDynamics(food_infinite=True)
+    cfg = LatticeTrainConfig(field_size=(16, 16), epochs=3, epoch_iters=4,
+                             popsize=8, envs_per_eval=1, seed=3)
+    best_ref, es_ref, hist_ref = train_lattice(dyn, cfg)
+    assert hists.pop().split()[1:] == [
+        f"{h['best']:.6f}" for h in hist_ref]
+    center_bits = np.asarray(es_ref.center, np.float32).view(np.uint32)
+    with np.errstate(over="ignore"):
+        digest_ref = int(np.add.reduce(center_bits.reshape(-1),
+                                       dtype=np.uint32))
+    assert digests.pop() == f"CENTER_DIGEST {digest_ref}"
+    assert bests.pop().split()[1:] == [
+        f"{v:.6f}" for v in np.asarray(best_ref).reshape(-1)]
+
+
 SPATIAL_WORKER = os.path.join(os.path.dirname(__file__), "helpers",
                               "mp_spatial_worker.py")
 
