@@ -11,8 +11,10 @@ returning the renderer's image list.  The functional redesign
 One deliberate improvement over the reference: ``reset(seed=N)`` actually
 threads the seed (the reference ignores it and re-inits from the global
 NumPy RNG, /root/reference/core/env.py:94-99 — SURVEY §3-B ledger item 5).
-``reset()`` with no seed reuses the previous seed, giving reproducible
-episodes by default.
+Per the Gymnasium contract, ``reset()`` with no seed CONTINUES the episode
+RNG stream — episode e draws from ``fold_in(PRNGKey(seed), e)``, so
+repeated resets give fresh (but reproducible-from-seed) initial worlds;
+``reset(seed=N)`` restarts the stream at episode 0.
 """
 from __future__ import annotations
 
@@ -66,7 +68,12 @@ class GymEnv(_ENV_BASE):
               options: Optional[dict] = None):
         if seed is not None:
             self._seed = int(seed)
-        self.state = self._init(jr.PRNGKey(self._seed))
+            self._episode = 0
+        elif getattr(self, "_episode", None) is None:
+            self._episode = 0
+        self.state = self._init(
+            jr.fold_in(jr.PRNGKey(self._seed), self._episode))
+        self._episode += 1
         return self._obs(), {}
 
     def step(self, action):

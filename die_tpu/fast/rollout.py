@@ -126,9 +126,11 @@ def fast_rollout_auto(dyn: FastDynamics, state: FastEnvState, rollout_key,
     """Geometry-aware rollout: picks the fastest available path.
 
     - whole-field K-step Pallas kernel when the field fits the VMEM budget
-      (pow2 sizes >= (8, 128), flow 'none', num_steps % num_inner == 0);
-    - banded Pallas kernel for larger pow2 fields (2x the XLA path);
-    - the XLA scan otherwise (any geometry / flow).
+      (pow2 sizes >= (8, 128), num_steps % num_inner == 0; all flow kinds
+      — perlin fields are precomputed and DMA'd);
+    - banded Pallas kernel for larger pow2 fields (4-5x the XLA path;
+      all flow kinds);
+    - the XLA scan otherwise (any geometry).
 
     Invariant for perlin flow: the kernel path precomputes flow fields from
     t0-based global step indices, so resumed states must be passed with
@@ -146,8 +148,8 @@ def fast_rollout_auto(dyn: FastDynamics, state: FastEnvState, rollout_key,
         # 128^2 whole-field and 256^2 banded both compile and run
         vmem_budget_cells //= 4
     if on_tpu and pow2_ok:
-        # whole-field kernel handles all flow kinds (perlin fields are
-        # precomputed and DMA'd); the banded kernel needs flow == 'none'
+        # whole-field kernel: all flow kinds (perlin fields are
+        # precomputed and DMA'd)
         if W * H <= vmem_budget_cells and num_steps % num_inner == 0:
             from die_tpu.fast.pallas_step import pallas_fast_rollout_multi
 

@@ -228,6 +228,8 @@ class FullCmaState(NamedTuple):
     mean: object     # f32[D]
     sigma: object    # f32[]
     cov: object      # f32[D, D]
+    evals: object    # f32[D]    — eig(cov), computed when cov changes
+    evecs: object    # f32[D, D]
     p_sigma: object  # f32[D]
     p_c: object      # f32[D]
     step: object     # i32[]
@@ -264,10 +266,14 @@ class CMAES:
                                          + 1.0 / (21 * d * d)))
 
     def init(self, center0) -> FullCmaState:
+        cov = jnp.eye(self.d, dtype=jnp.float32)
+        evals, evecs = self._eig(cov)
         return FullCmaState(
             mean=jnp.asarray(center0, jnp.float32),
             sigma=jnp.float32(self.sigma0),
-            cov=jnp.eye(self.d, dtype=jnp.float32),
+            cov=cov,
+            evals=evals,
+            evecs=evecs,
             p_sigma=jnp.zeros((self.d,), jnp.float32),
             p_c=jnp.zeros((self.d,), jnp.float32),
             step=jnp.zeros((), jnp.int32),
@@ -281,11 +287,12 @@ class CMAES:
         return evals, evecs
 
     def ask(self, state: FullCmaState, key):
-        """pop f32[popsize, D]; returns (pop, y) with y = C^{1/2} z."""
+        """pop f32[popsize, D]; returns (pop, y) with y = C^{1/2} z.
+        Uses the factorization carried in the state (computed when tell
+        updated cov) — one eigh per generation, in tell."""
         z = _normal(key, (self.popsize, self.d))
-        evals, evecs = self._eig(state.cov)
         # y = B diag(sqrt(evals)) z
-        y = (z * jnp.sqrt(evals)[None, :]) @ evecs.T
+        y = (z * jnp.sqrt(state.evals)[None, :]) @ state.evecs.T
         pop = state.mean[None, :] + state.sigma * y
         return pop, y
 
@@ -299,9 +306,9 @@ class CMAES:
                       np.float32(self.cc))
         mueff = np.float32(self.mueff)
 
-        evals, evecs = self._eig(state.cov)
-        inv_sqrt = (evecs * (np.float32(1.0) / jnp.sqrt(evals))[None, :]) \
-            @ evecs.T
+        inv_sqrt = (state.evecs
+                    * (np.float32(1.0) / jnp.sqrt(state.evals))[None, :]) \
+            @ state.evecs.T
         p_sigma = (1.0 - cs) * state.p_sigma \
             + jnp.sqrt(cs * (2.0 - cs) * mueff) * (inv_sqrt @ y_w)
         t1 = state.step.astype(jnp.float32) + np.float32(1.0)
@@ -321,7 +328,9 @@ class CMAES:
                + cmu * rank_mu)
         sigma = state.sigma * jnp.exp(
             (cs / ds) * (ps_norm / np.float32(self.chi_d) - 1.0))
+        evals, evecs = self._eig(cov)  # the generation's ONE eigh
         return FullCmaState(mean=mean, sigma=sigma, cov=cov,
+                            evals=evals, evecs=evecs,
                             p_sigma=p_sigma, p_c=p_c, step=state.step + 1)
 
 

@@ -89,13 +89,13 @@ def make_spatial_fast_step(dyn: FastDynamics, mesh: Mesh,
     n = mesh.shape[axis]
     has_flow = dyn.flow.kind != "none"
 
-    def local_step(occ, dirf, afood, efood, chem, rand, flowf):
+    def local_step(occ, dirf, afood, efood, chem, rand, *flow_args):
         pad = partial(_exchange_halo, r=r, axis_name=axis, n=n)
         state = FastEnvState(occ=pad(occ), dir=pad(dirf),
                              agent_food=pad(afood), env_food=pad(efood),
                              chem=pad(chem), flow_step=jnp.int32(0))
         bits = FastStepBits(rand=pad(rand))
-        flow_field = pad(flowf) if has_flow else None
+        flow_field = pad(flow_args[0]) if has_flow else None
         new_state, _, _, gained = fast_step_full(dyn, state, bits,
                                                  flow_field=flow_field)
         sl = slice(r, -r)
@@ -107,26 +107,28 @@ def make_spatial_fast_step(dyn: FastDynamics, mesh: Mesh,
         return (new_occ, new_state.dir[sl], new_state.agent_food[sl],
                 new_state.env_food[sl], new_state.chem[sl], reward, num)
 
+    # the flow-field operand (and its sharded spec) exist only when the
+    # dynamics have flow — no zeros placeholder rides the shard_map
+    n_in = 7 if has_flow else 6
     sharded = shard_map(
         local_step, mesh=mesh,
-        in_specs=(P(axis, None),) * 7,
+        in_specs=(P(axis, None),) * n_in,
         out_specs=((P(axis, None),) * 5 + (P(), P())),
         check_vma=False,
     )
 
     def step(state: FastEnvState, bits: FastStepBits):
         flow_step = state.flow_step
+        flow_args = ()
         if has_flow:
             from die_tpu.ops.waves import flow_field_any
 
             W, H = state.occ.shape
-            flowf = flow_field_any(dyn.flow, (W, H), flow_step)
+            flow_args = (flow_field_any(dyn.flow, (W, H), flow_step),)
             flow_step = flow_step + 1
-        else:
-            flowf = jnp.zeros_like(state.env_food)
         occ, dirf, afood, efood, chem, reward, num = sharded(
             state.occ, state.dir, state.agent_food, state.env_food,
-            state.chem, bits.rand, flowf)
+            state.chem, bits.rand, *flow_args)
         return FastEnvState(occ=occ, dir=dirf, agent_food=afood,
                             env_food=efood, chem=chem,
                             flow_step=flow_step), reward, num

@@ -99,9 +99,12 @@ def _best_sidecar(path: str) -> str:
 
 def load_training_best(path: str):
     """(best_fit, best_center) from the ``best_*.npz`` sidecar of an ES
-    checkpoint, or None if the checkpoint predates best-tracking."""
+    checkpoint, or None if the checkpoint predates best-tracking or was
+    renamed out of the ``es_*`` convention (then no sidecar can exist —
+    without this guard _best_sidecar returns the checkpoint itself and
+    ``data['fit']`` raises)."""
     best_path = _best_sidecar(path)
-    if not os.path.exists(best_path):
+    if best_path == str(path) or not os.path.exists(best_path):
         return None
     data = np.load(best_path)
     return float(data["fit"]), np.asarray(data["center"])

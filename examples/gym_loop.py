@@ -8,8 +8,14 @@ import sys
 
 sys.path.insert(0, ".")  # noqa: E402  (PYTHONPATH breaks the axon plugin)
 
+import os
+
 import numpy as np
 import jax
+
+if os.environ.get("DIE_TPU_CPU"):  # force CPU (env var alone is too late)
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.random as jr
 
 from die_tpu.core.config import Dynamics

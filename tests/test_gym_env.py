@@ -25,8 +25,8 @@ def test_gym_loop_matches_functional_core():
     policy = BrownianPolicy(move_scale=0.01)
     pkey = jr.PRNGKey(7)
 
-    # functional twin
-    state = init_env_state(jr.PRNGKey(42), SIZE, dyn)
+    # functional twin (episode 0 of seed 42's stream)
+    state = init_env_state(jr.fold_in(jr.PRNGKey(42), 0), SIZE, dyn)
     step = jax.jit(lambda s, a: env_step(dyn, s, a))
 
     obs, info0 = env.reset(seed=42)
@@ -51,15 +51,21 @@ def test_gym_loop_matches_functional_core():
 def test_gym_reset_threads_seed():
     """reset(seed) re-initializes deterministically (fixing the reference's
     ignored seed, /root/reference/core/env.py:94-99); different seeds give
-    different worlds; reset() with no seed reuses the last seed."""
+    different worlds; reset() with no seed CONTINUES the episode stream
+    (Gymnasium contract: fresh but seed-reproducible worlds)."""
     env = GymEnv(SIZE, Dynamics(init_agent_ratio=0.1), seed=1)
     obs1, _ = env.reset(seed=5)
     m1 = np.asarray(env.medium)
     obs2, _ = env.reset(seed=6)
     m2 = np.asarray(env.medium)
     assert not np.array_equal(m1, m2)
-    env.reset()
+    env.reset()  # episode 1 of seed 6's stream: a NEW world...
+    m3 = np.asarray(env.medium)
+    assert not np.array_equal(m3, m2)
+    env.reset(seed=6)  # ...reproducible by restarting the stream
     assert np.array_equal(np.asarray(env.medium), m2)
+    env.reset()
+    assert np.array_equal(np.asarray(env.medium), m3)
     env.reset(seed=5)
     assert np.array_equal(np.asarray(env.medium), m1)
 
