@@ -24,6 +24,25 @@ import time
 import numpy as np
 
 
+def _null_offset(reps=5):
+    """Fixed per-call tunnel cost (dispatch + scalar-sync round trip,
+    ~24-30 ms under axon — docs/PERF.md 'round 2 correction').  Subtracted
+    from timed runs so the metric reports device throughput; at the
+    headline config the correction is ~1.5%."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((8, 128), jnp.float32)
+    f = jax.jit(lambda x: jnp.sum(x + 1.0))
+    float(np.asarray(f(x)))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(np.asarray(f(x)))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def bench_fast():
     import jax
     import jax.numpy as jnp
@@ -60,6 +79,7 @@ def bench_fast():
         _, rew, _ = jax.vmap(roll)(states, rkeys)
         return jnp.sum(rew)
 
+    off = _null_offset()
     b = B
     while True:
         try:
@@ -79,7 +99,7 @@ def bench_fast():
                 continue
             raise
 
-    v = b * T / best
+    v = b * T / max(best - off, 1e-9)
     print(json.dumps({
         "metric": f"env-steps/s/chip, {F}x{F} lattice Physarum, {b} lockstep"
                   f" envs (fast engine)",
@@ -150,6 +170,7 @@ def main():
 
     run = jax.jit(_run)
 
+    off = _null_offset()
     b = B
     while True:
         try:
@@ -170,7 +191,7 @@ def main():
                 continue
             raise
 
-    env_steps_per_s = b * T / best
+    env_steps_per_s = b * T / max(best - off, 1e-9)
     print(json.dumps({
         "metric": f"env-steps/s/chip, {F}x{F} Physarum, {b} lockstep envs,"
                   f" {N} agent slots",

@@ -64,13 +64,15 @@ def test_fuzz_exact_engine(case):
 
 def _sample_fast(rng: random.Random) -> FastDynamics:
     return FastDynamics(
-        num_dirs=rng.choice([4, 8]),
+        num_dirs=rng.choice([4, 8, 16]),
         sense_dist=rng.choice([1, 3, 5]),
         randomize_on_block=rng.random() < 0.7,
         deposit_coef=rng.uniform(0.5, 6.0),
         idle_deposit=rng.uniform(0.0, 0.3),
         rate_feed=rng.uniform(0.01, 0.3),
         agents_die=rng.random() < 0.4,
+        agents_born=rng.random() < 0.3,
+        birth_threshold=rng.uniform(0.2, 1.0),
         food_infinite=rng.random() < 0.5,
         rng_kind=rng.choice(["murmur", "threefry"]),
         init_agent_ratio=rng.uniform(0.05, 0.4),
