@@ -10,6 +10,10 @@ import argparse
 import matplotlib
 
 import jax
+
+if _os.environ.get("DIE_TPU_CPU"):  # force CPU (env var alone is too late)
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.random as jr
 
 from die_tpu.core import channels as ch
@@ -23,16 +27,20 @@ from die_tpu.render.renderer import EnvRenderer
 
 def record_fast(filename="animation.gif", field_size=(128, 128),
                 num_frames=100, agent_ratio=0.15, seed=0, headless=True,
-                steps_per_frame=2):
-    """GIF of the fast lattice engine."""
+                steps_per_frame=2, flow="none", num_dirs=8):
+    """GIF of the fast lattice engine.  ``flow='wave'`` is the visual twin
+    of the reference's dyn-pred dynamic-environment preset
+    (/root/reference/examples/learning_agents.py:124-129)."""
     if headless:
         matplotlib.use("Agg")
+    from die_tpu.core.config import FlowConfig
     from die_tpu.fast.config import FastDynamics
     from die_tpu.fast.init import fast_init_jax
     from die_tpu.fast.render_adapter import make_fast_render_fn
     from die_tpu.fast.rollout import fast_rollout
 
-    dyn = FastDynamics(init_agent_ratio=agent_ratio)
+    dyn = FastDynamics(init_agent_ratio=agent_ratio, num_dirs=num_dirs,
+                       flow=FlowConfig(kind=flow))
     master = jr.PRNGKey(seed)
     holder = {"state": fast_init_jax(
         jr.fold_in(master, ch.TAG_SESSION_ENV_INIT), field_size, dyn)}
@@ -92,8 +100,14 @@ if __name__ == "__main__":
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--frames", type=int, default=100)
     ap.add_argument("--engine", default="exact", choices=["exact", "fast"])
+    ap.add_argument("--flow", default="none",
+                    choices=["none", "wave", "perlin"],
+                    help="fast engine only: dynamic food flow (dyn-pred)")
+    ap.add_argument("--dirs", type=int, default=8, choices=[4, 8, 16],
+                    help="fast engine only: lattice resolution")
     args = ap.parse_args()
     if args.engine == "fast":
-        record_fast(args.out, (args.size, args.size), args.frames)
+        record_fast(args.out, (args.size, args.size), args.frames,
+                    flow=args.flow, num_dirs=args.dirs)
     else:
         record(args.out, (args.size, args.size), args.frames)

@@ -70,6 +70,10 @@ def main():
         ("crn_e8", 8, 200, 32, 8, 0.5, 0.5, 0.05, 0.1, 1, True),
         ("crn_long", 8, 400, 32, 8, 0.5, 0.5, 0.05, 0.1, 2, True),
         ("crn_pop64", 8, 200, 64, 8, 0.5, 0.5, 0.05, 0.1, 3, True),
+        # round-2 second wave: scale population / capacity over the winner
+        ("crn_pop128", 8, 200, 128, 8, 0.5, 0.5, 0.05, 0.1, 4, True),
+        ("crn_h12", 12, 200, 64, 8, 0.5, 0.5, 0.05, 0.1, 5, True),
+        ("crn_pop64_long", 8, 400, 64, 8, 0.5, 0.5, 0.05, 0.1, 6, True),
     ]
     if len(sys.argv) > 1:
         want = set(sys.argv[1].split(","))
