@@ -90,13 +90,25 @@ def _move(dynamics: Dynamics, agents, action):
 def _deposit_and_layout(dynamics: Dynamics, medium, agents, action):
     """Substep 2 — core/env.py:204-215.  Alive agents only.
 
-    Winner-take-last duplicate semantics via a stable sort: agents sorted by
-    cell keep ascending slot order within a cell, so the last element of each
+    Winner-take-last duplicate semantics via a sort: agents sorted by cell
+    with ascending slot order within a cell, so the last element of each
     equal-cell run is the highest-slot (numpy "last write wins") agent.
     Winners scatter to their cell, non-winners to distinct dummy slots past
     the field, making every scatter index unique — the fast parallel scatter
     path on TPU (the naive ``at[].max`` scatter lowers to a serialized loop,
     measured ~2x slower at 65536 agents).
+
+    Two formulations, bitwise-identical results (same winner, same single
+    addition into the chem field):
+      * packed (default when cell and slot both fit 16 bits): one UNSTABLE
+        2-operand sort on a unique u32 key ``cell<<16 | slot`` — stability
+        (and XLA's hidden iota tiebreak operand) is unnecessary because the
+        keys are unique and slot order rides in the low bits.  Dead slots
+        sort into a pseudo-cell run at the top; when the field is exactly
+        2^16 cells that run collides with the real last cell, whose winner
+        is then resolved by a cheap side reduction.
+      * stable (fallback for larger fields / slot counts): stable sort on
+        the cell key with the deposit payload, dead slots at sentinel hw.
     """
     W, H = medium.shape[-2], medium.shape[-1]
     n = agents.shape[-1]
@@ -104,25 +116,83 @@ def _deposit_and_layout(dynamics: Dynamics, medium, agents, action):
     alive = agents[ch.CH_AGT_ALIVE] > _F0
     cell = ix * H + iy
     hw = W * H
-    # out-of-range sentinel for dead slots -> dropped by scatter mode='drop'
-    cell_masked = jnp.where(alive, cell, hw)
-
     deposit = action[ch.CH_ACT_DEPOSIT]
-    sorted_cell, sorted_dep = jax.lax.sort((cell_masked, deposit), num_keys=1,
-                                           is_stable=True)
-    nxt = jnp.concatenate([sorted_cell[1:],
-                           jnp.full((1,), -1, sorted_cell.dtype)])
-    is_winner = (sorted_cell != nxt) & (sorted_cell < hw)
     slot = jnp.arange(n, dtype=jnp.int32)
-    target = jnp.where(is_winner, sorted_cell, hw + slot)
 
-    dep_ext = jnp.zeros((hw + n,), jnp.float32).at[target].set(
-        sorted_dep, mode="drop", unique_indices=True)
-    occ_ext = jnp.zeros((hw + n,), jnp.float32).at[target].set(
-        jnp.ones((n,), jnp.float32), mode="drop", unique_indices=True)
+    if hw <= (1 << 16) and n <= (1 << 16):
+        # ---- packed unique-key formulation ----
+        pseudo = min(hw, (1 << 16) - 1)  # dead slots' pseudo-cell
+        slot_u = slot.astype(jnp.uint32)
+        key = jnp.where(
+            alive,
+            (cell.astype(jnp.uint32) << jnp.uint32(16)) | slot_u,
+            (jnp.uint32(pseudo) << jnp.uint32(16)) | slot_u)
+        sorted_key, sorted_dep = jax.lax.sort((key, deposit), num_keys=1,
+                                              is_stable=False)
+        sorted_cell = (sorted_key >> jnp.uint32(16)).astype(jnp.int32)
+        # when hw == 2^16 the pseudo-cell run mixes dead slots with real
+        # last-cell agents — exclude it here, resolve the cell on the side
+        limit = hw if hw < (1 << 16) else hw - 1
+        nxt = jnp.concatenate([sorted_cell[1:],
+                               jnp.full((1,), -1, sorted_cell.dtype)])
+        is_winner = (sorted_cell != nxt) & (sorted_cell < limit)
 
-    chem = medium[ch.CH_MED_CHEM].reshape(-1) + dep_ext[:hw]
-    occupancy = occ_ext[:hw]
+        from die_tpu.ops.mxu_scatter import (
+            mxu_scatter_enabled,
+            onehot_scatter_winner,
+        )
+
+        if mxu_scatter_enabled() and hw % 128 == 0:
+            # MXU one-hot scatter: winner placement as byte-plane matmuls
+            # (bit-identical to the at[].set path; avoids XLA:TPU's slow
+            # scatter lowering — the dominant exact-engine cost)
+            dense, count = onehot_scatter_winner(sorted_dep, sorted_cell,
+                                                 is_winner, hw)
+            chem = medium[ch.CH_MED_CHEM].reshape(-1) + dense
+            occupancy = count
+        else:
+            target = jnp.where(is_winner, sorted_cell, hw + slot)
+            dep_ext = jnp.zeros((hw + n,), jnp.float32).at[target].set(
+                sorted_dep, mode="drop", unique_indices=True)
+            occ_ext = jnp.zeros((hw + n,), jnp.float32).at[target].set(
+                jnp.ones((n,), jnp.float32), mode="drop",
+                unique_indices=True)
+            chem = medium[ch.CH_MED_CHEM].reshape(-1) + dep_ext[:hw]
+            occupancy = occ_ext[:hw]
+
+        if hw == (1 << 16):
+            # side-resolve the contested last cell: winner = max-slot alive
+            # agent there; its deposit is added with the SAME single
+            # addition the scatter path would have produced.  Elementwise
+            # where-selection on the iota mask (no scalar dynamic-update —
+            # that formulation hangs the XLA:CPU compiler when composed
+            # with the sort+scatter graph); the untouched lanes keep their
+            # exact bits (incl. -0.0) because nothing is added to them.
+            cond = alive & (cell == hw - 1)
+            wslot = jnp.max(jnp.where(cond, slot, -1))
+            wdep = jnp.sum(jnp.where(cond & (slot == wslot), deposit, _F0))
+            has = wslot >= 0
+            is_last = jnp.arange(hw, dtype=jnp.int32) == hw - 1
+            chem = jnp.where(is_last & has, chem + wdep, chem)
+            occupancy = jnp.where(
+                is_last, jnp.where(has, _F1, _F0), occupancy)
+    else:
+        # ---- stable fallback ----
+        # out-of-range sentinel for dead slots -> dropped by mode='drop'
+        cell_masked = jnp.where(alive, cell, hw)
+        sorted_cell, sorted_dep = jax.lax.sort((cell_masked, deposit),
+                                               num_keys=1, is_stable=True)
+        nxt = jnp.concatenate([sorted_cell[1:],
+                               jnp.full((1,), -1, sorted_cell.dtype)])
+        is_winner = (sorted_cell != nxt) & (sorted_cell < hw)
+        target = jnp.where(is_winner, sorted_cell, hw + slot)
+
+        dep_ext = jnp.zeros((hw + n,), jnp.float32).at[target].set(
+            sorted_dep, mode="drop", unique_indices=True)
+        occ_ext = jnp.zeros((hw + n,), jnp.float32).at[target].set(
+            jnp.ones((n,), jnp.float32), mode="drop", unique_indices=True)
+        chem = medium[ch.CH_MED_CHEM].reshape(-1) + dep_ext[:hw]
+        occupancy = occ_ext[:hw]
 
     medium = medium.at[ch.CH_MED_CHEM].set(chem.reshape(W, H))
     medium = medium.at[ch.CH_MED_AGENTS].set(occupancy.reshape(W, H))

@@ -48,11 +48,12 @@ def mxu_gather_enabled() -> bool:
 
 
 def _byte_planes(field):
-    """The four bytes of each f32's bit pattern as f32 planes.
+    """The four bytes of each f32's bit pattern as bf16 planes.
 
     Every plane value is an integer in [0, 255] — exactly representable in
-    bf16 (8-bit mantissa), so a DEFAULT-precision (single bf16 pass) one-hot
-    matmul moves it exactly.  Reconstructing the u32 in integer arithmetic
+    bf16 (8-bit mantissa), so a single-pass bf16 one-hot matmul with f32
+    accumulation moves it exactly (materializing the planes in bf16 also
+    halves the HBM traffic of the hot dots).  Reconstructing the u32 in integer arithmetic
     and bitcasting back yields the original f32 BIT PATTERN for every input:
     +-0, subnormals, NaN, inf.  (A hi/mid/lo bf16 value split is one dot
     cheaper but loses f32-subnormal payloads — which chem fields really
@@ -60,27 +61,8 @@ def _byte_planes(field):
     which Physarum's atan2 observes at grad-clipped cells.)"""
     bits = jax.lax.bitcast_convert_type(field, jnp.uint32)
     return tuple(
-        ((bits >> np.uint32(8 * k)) & np.uint32(0xFF)).astype(jnp.float32)
+        ((bits >> np.uint32(8 * k)) & np.uint32(0xFF)).astype(jnp.bfloat16)
         for k in range(4))
-
-
-def _pick_cell(onehot_r, onehot_c, planes):
-    """Row dot + column pick, all in byte domain, then one bitcast.
-
-    Each byte plane rides a DEFAULT (single-pass bf16) dot — the one-hot
-    side is exact in bf16, byte values are exact in bf16, every product is
-    0 or the byte, and accumulating one byte plus zeros is exact — then a
-    one-hot column multiply+reduce (f32 integer arithmetic <= 255, exact on
-    any backend, no subnormal flushing in play).  4 MXU passes vs 6 for
-    precision=HIGHEST.  Bit-equality vs jnp.take is asserted in
-    tests/test_mxu_gather.py (including -0 and subnormal cells)."""
-    acc = None
-    for k, p in enumerate(planes):
-        picked = jax.lax.dot(onehot_r, p)
-        byte = jnp.sum(picked * onehot_c, axis=1)
-        d = byte.astype(jnp.uint32) << np.uint32(8 * k)
-        acc = d if acc is None else acc | d
-    return jax.lax.bitcast_convert_type(acc, jnp.float32)
 
 
 def onehot_gather_flat(flat, idx, row_width: int = 128, chunk: int = 2048):
@@ -88,41 +70,27 @@ def onehot_gather_flat(flat, idx, row_width: int = 128, chunk: int = 2048):
 
     ``flat``: f32[M] with M % row_width == 0; ``idx``: i32[N] in [0, M).
     N is padded up to a multiple of ``chunk`` internally.
-    """
-    m = flat.shape[0]
-    assert m % row_width == 0
-    rows = m // row_width
-    field = flat.reshape(rows, row_width)
-    n = idx.shape[0]
-    pad = (-n) % chunk
-    if pad:
-        idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
 
-    r = (idx // row_width).astype(jnp.int32).reshape(-1, chunk)
-    c = (idx % row_width).astype(jnp.int32).reshape(-1, chunk)
-
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, rows), 1)
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, row_width), 1)
-    planes = _byte_planes(field)
-
-    def one_chunk(args):
-        rc, cc = args
-        onehot_r = (row_iota == rc[:, None]).astype(jnp.float32)
-        onehot_c = (col_iota == cc[:, None]).astype(jnp.float32)
-        return _pick_cell(onehot_r, onehot_c, planes)
-
-    out = jax.lax.map(one_chunk, (r, c)).reshape(-1)
-    return out[:n] if pad else out
+    Each byte plane rides a single-pass bf16 dot with f32 accumulation —
+    the one-hot side is exact in bf16, byte values are exact in bf16,
+    every product is 0 or the byte, and accumulating one byte plus zeros
+    is exact — then a one-hot column multiply+reduce (f32 integer
+    arithmetic <= 255, exact on any backend, no subnormal flushing).
+    4 MXU passes vs 6 for precision=HIGHEST.
+    Bit-equality vs jnp.take is asserted in tests/test_mxu_gather.py
+    (including -0 and subnormal cells)."""
+    return onehot_gather_multi((flat,), idx, row_width, chunk)[0]
 
 
 def onehot_gather_multi(flats, idx, row_width: int = 128,
                         chunk: int = 2048):
     """Gather K fields at the same indices, sharing one one-hot
     construction per chunk: returns a tuple of f32[N], each bit-identical
-    to ``jnp.take`` (byte-plane formulation — see _pick_cell).  The MXU
-    MAC count still scales with K, but the one-hot build, index math, and
-    XLA-level plumbing amortize."""
+    to ``jnp.take`` (byte-plane formulation — see onehot_gather_flat).
+    The MXU MAC count still scales with K, but the one-hot build, index
+    math, and XLA-level plumbing amortize."""
     m = flats[0].shape[0]
+    assert m % row_width == 0
     rows = m // row_width
     fields = [f.reshape(rows, row_width) for f in flats]
     n = idx.shape[0]
@@ -136,11 +104,24 @@ def onehot_gather_multi(flats, idx, row_width: int = 128,
     all_planes = [_byte_planes(f) for f in fields]
 
     def one_chunk(args):
+        # per-plane narrow dots, each fusing into its column pick — a
+        # single wide dot over concatenated planes was measured ~1.7x
+        # SLOWER end-to-end (the [chunk, 4K*row_width] picked intermediate
+        # materializes instead of fusing; docs/PERF.md round-2b)
         rc, cc = args
-        onehot_r = (row_iota == rc[:, None]).astype(jnp.float32)
+        onehot_r = (row_iota == rc[:, None]).astype(jnp.bfloat16)
         onehot_c = (col_iota == cc[:, None]).astype(jnp.float32)
-        return tuple(_pick_cell(onehot_r, onehot_c, planes)
-                     for planes in all_planes)
+        outs = []
+        for planes in all_planes:
+            acc = None
+            for k, p in enumerate(planes):
+                picked = jax.lax.dot(onehot_r, p,
+                                     preferred_element_type=jnp.float32)
+                byte = jnp.sum(picked * onehot_c, axis=1)
+                d = byte.astype(jnp.uint32) << np.uint32(8 * k)
+                acc = d if acc is None else acc | d
+            outs.append(jax.lax.bitcast_convert_type(acc, jnp.float32))
+        return tuple(outs)
 
     outs = jax.lax.map(one_chunk, (r, c))
     return tuple(o.reshape(-1)[:n] for o in outs)
