@@ -85,6 +85,11 @@ class Dynamics:
     init_food_threshold: float = 1.0
     init_food_octaves: int = 8
     flow: FlowConfig = dataclasses.field(default_factory=FlowConfig)
+    # Testing knob: force the deposit scatter's stable-sort fallback (the
+    # path taken automatically when W*H or the slot count exceeds 2^16) so
+    # small-size tests/fuzzing exercise both formulations.  Bitwise-identical
+    # results by contract (tests/test_deposit_fallback.py).
+    force_stable_scatter: bool = False
 
     # ------------------------------------------------------------------ JSON
     def to_json(self) -> str:

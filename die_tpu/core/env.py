@@ -119,7 +119,8 @@ def _deposit_and_layout(dynamics: Dynamics, medium, agents, action):
     deposit = action[ch.CH_ACT_DEPOSIT]
     slot = jnp.arange(n, dtype=jnp.int32)
 
-    if hw <= (1 << 16) and n <= (1 << 16):
+    if hw <= (1 << 16) and n <= (1 << 16) \
+            and not dynamics.force_stable_scatter:
         # ---- packed unique-key formulation ----
         pseudo = min(hw, (1 << 16) - 1)  # dead slots' pseudo-cell
         slot_u = slot.astype(jnp.uint32)
@@ -163,17 +164,24 @@ def _deposit_and_layout(dynamics: Dynamics, medium, agents, action):
         if hw == (1 << 16):
             # side-resolve the contested last cell: winner = max-slot alive
             # agent there; its deposit is added with the SAME single
-            # addition the scatter path would have produced.  Elementwise
-            # where-selection on the iota mask (no scalar dynamic-update —
-            # that formulation hangs the XLA:CPU compiler when composed
-            # with the sort+scatter graph); the untouched lanes keep their
-            # exact bits (incl. -0.0) because nothing is added to them.
+            # addition the scatter path would have produced — medium + wdep
+            # on the ORIGINAL chem value, with the winning deposit extracted
+            # by bit pattern (u32 bitcast + max against 0) so -0.0 and NaN
+            # payloads survive (a masked fp sum would fold -0.0 to +0.0).
+            # Elementwise where-selection on the iota mask (no scalar
+            # dynamic-update — that formulation hangs the XLA:CPU compiler
+            # when composed with the sort+scatter graph); the untouched
+            # lanes keep their exact bits because nothing is added to them.
             cond = alive & (cell == hw - 1)
             wslot = jnp.max(jnp.where(cond, slot, -1))
-            wdep = jnp.sum(jnp.where(cond & (slot == wslot), deposit, _F0))
+            dep_bits = jax.lax.bitcast_convert_type(deposit, jnp.uint32)
+            wdep_bits = jnp.max(jnp.where(cond & (slot == wslot), dep_bits,
+                                          jnp.uint32(0)))
+            wdep = jax.lax.bitcast_convert_type(wdep_bits, jnp.float32)
             has = wslot >= 0
             is_last = jnp.arange(hw, dtype=jnp.int32) == hw - 1
-            chem = jnp.where(is_last & has, chem + wdep, chem)
+            chem = jnp.where(is_last & has,
+                             medium[ch.CH_MED_CHEM].reshape(-1) + wdep, chem)
             occupancy = jnp.where(
                 is_last, jnp.where(has, _F1, _F0), occupancy)
     else:

@@ -84,6 +84,35 @@ def test_last_cell_winner_mxu_scatter():
     _run_and_check(mxu=True)
 
 
+def test_negative_zero_deposit_at_last_cell():
+    """Constructed -0.0 case (round-2 advisor): when both the chem cell and
+    the winning deposit are -0.0, the reference's single buffered addition
+    yields (-0.0) + (-0.0) = -0.0.  The side path must preserve that bit
+    (it adds the bit-extracted winning deposit to the ORIGINAL chem value,
+    not to the +0.0-rescattered intermediate)."""
+    agents = np.zeros((4, N), np.float32)
+    action = np.zeros((3, N), np.float32)
+    agents[ch.CH_AGT_X, 17] = LAST
+    agents[ch.CH_AGT_Y, 17] = LAST
+    agents[ch.CH_AGT_ALIVE, 17] = 1.0
+    action[ch.CH_ACT_DEPOSIT, 17] = np.float32(-0.0)
+    medium = np.zeros((3, F, F), np.float32)
+    medium[ch.CH_MED_CHEM, 255, 255] = np.float32(-0.0)
+    dyn = Dynamics()
+    for mxu in (False, True):
+        use_mxu_gather(mxu)
+        try:
+            out = jax.jit(lambda m, a, act: _deposit_and_layout(dyn, m, a,
+                                                                act))(
+                jnp.asarray(medium), jnp.asarray(agents), jnp.asarray(action))
+        finally:
+            use_mxu_gather(None)
+            jax.clear_caches()
+        v = np.asarray(out[ch.CH_MED_CHEM])[255, 255]
+        assert v == 0.0 and np.signbit(v), (mxu, v)
+        assert np.asarray(out[ch.CH_MED_AGENTS])[255, 255] == 1.0, mxu
+
+
 def test_no_alive_agent_at_last_cell():
     """Only dead slots map to the last cell: nothing may be deposited
     there and occupancy must stay 0 (the side reduction's has=False arm)."""

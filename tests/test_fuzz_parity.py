@@ -40,6 +40,8 @@ def _sample_dynamics(rng: random.Random) -> Dynamics:
         agents_die=rng.random() < 0.5,
         init_agent_ratio=rng.uniform(0.05, 0.4),
         flow=flow,
+        # exercise both deposit-scatter formulations at fuzz sizes
+        force_stable_scatter=rng.random() < 0.5,
     )
 
 
