@@ -9,10 +9,14 @@ multiply+reduce — no gather/scatter primitive anywhere:
     rows_g = onehot(r) @ field          # [CH, R] @ [R, C] — MXU
     out    = sum(rows_g * onehot(c), 1) # one-hot column pick — VPU
 
-Exactness: with ``precision=HIGHEST`` the f32 operands split into exact
-bf16x3 triples; the one-hot operand splits to (1, 0, 0), so each product
-reconstructs the field value exactly and every other term is exactly zero —
-the result is bit-identical to ``jnp.take`` (asserted in tests).
+Exactness: each f32 value travels as its four BYTE PLANES (integers in
+[0, 255], exact in bf16), one single-pass bf16 dot per plane with f32
+accumulation; the one-hot side is exactly 0/1, so every accumulation is
+"one byte plus zeros", and the reconstructed u32 is the original f32 bit
+pattern — including -0.0, subnormals, and NaN payloads.  The result is
+bit-identical to ``jnp.take`` (asserted in tests).  (An earlier
+formulation used precision=HIGHEST bf16x3 splitting — 6 passes vs 4, see
+docs/PERF.md round 2.)
 
 Chunked over agents via ``lax.map`` so the one-hot intermediates stay small
 enough to fuse.  Opt-in via ``use_mxu_gather(True)`` or per-call.
@@ -121,6 +125,42 @@ def onehot_gather_multi(flats, idx, row_width: int = 128,
                 d = byte.astype(jnp.uint32) << np.uint32(8 * k)
                 acc = d if acc is None else acc | d
             outs.append(jax.lax.bitcast_convert_type(acc, jnp.float32))
+        return tuple(outs)
+
+    outs = jax.lax.map(one_chunk, (r, c))
+    return tuple(o.reshape(-1)[:n] for o in outs)
+
+
+def onehot_gather_smallint(flats, idx, row_width: int = 128,
+                           chunk: int = 2048):
+    """Gather K fields whose VALUES are exactly representable in bf16
+    (0/1 flags, integers <= 255, powers of two <= 2^15) at shared indices:
+    one one-hot pair per chunk, a single single-pass bf16 dot per field —
+    4x cheaper than the byte-plane gather.  NOT safe for arbitrary f32
+    (callers guarantee the value range).  Returns a tuple of f32[N], each
+    bit-identical to ``jnp.take`` for in-range values."""
+    m = flats[0].shape[0]
+    assert m % row_width == 0
+    rows = m // row_width
+    fields = [f.reshape(rows, row_width).astype(jnp.bfloat16) for f in flats]
+    n = idx.shape[0]
+    pad = (-n) % chunk
+    if pad:
+        idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
+    r = (idx // row_width).astype(jnp.int32).reshape(-1, chunk)
+    c = (idx % row_width).astype(jnp.int32).reshape(-1, chunk)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, rows), 1)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, row_width), 1)
+
+    def one_chunk(args):
+        rc, cc = args
+        onehot_r = (row_iota == rc[:, None]).astype(jnp.bfloat16)
+        onehot_c = (col_iota == cc[:, None]).astype(jnp.float32)
+        outs = []
+        for f in fields:
+            picked = jax.lax.dot(onehot_r, f,
+                                 preferred_element_type=jnp.float32)
+            outs.append(jnp.sum(picked * onehot_c, axis=1))
         return tuple(outs)
 
     outs = jax.lax.map(one_chunk, (r, c))

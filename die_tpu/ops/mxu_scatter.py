@@ -105,3 +105,47 @@ def onehot_scatter_winner(values, cells, mask, hw: int,
         acc = d if acc is None else acc | d
     dense = jax.lax.bitcast_convert_type(acc, jnp.float32)
     return dense.reshape(-1), count.reshape(-1)
+
+
+def onehot_scatter_add_smallint(values, cells, mask, hw: int,
+                                row_width: int = 128, chunk: int = 4096):
+    """ACCUMULATING one-hot scatter-add for values exactly representable in
+    bf16 whose per-cell sums stay below 2^24: ``out[c] = sum_{i: cells[i]=c}
+    values[i]`` as a single bf16 dot per chunk with f32 accumulation —
+    duplicates genuinely add (unlike :func:`onehot_scatter_winner`, whose
+    byte planes only support at-most-one-winner placement).  Exact because
+    every product is 0 or an exactly-representable value and the f32
+    accumulator never rounds below 2^24.  Used by the sparse lattice
+    engine's conflict resolution (distinct powers of two per cell)."""
+    assert hw % row_width == 0
+    rows = hw // row_width
+    n = values.shape[0]
+    pad = (-n) % chunk
+    vals = jnp.where(mask, values, np.float32(0.0))
+    r = jnp.where(mask, cells // row_width, rows).astype(jnp.int32)
+    c = (cells % row_width).astype(jnp.int32)
+    if pad:
+        vals = jnp.concatenate([vals, jnp.zeros((pad,), vals.dtype)])
+        r = jnp.concatenate([r, jnp.full((pad,), rows, r.dtype)])
+        c = jnp.concatenate([c, jnp.zeros((pad,), c.dtype)])
+    n_chunks = vals.shape[0] // chunk
+    vals = vals.reshape(n_chunks, chunk)
+    r = r.reshape(n_chunks, chunk)
+    c = c.reshape(n_chunks, chunk)
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, rows), 1)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, row_width), 1)
+
+    def body(acc, args):
+        vc, rc, cc = args
+        onehot_r = (row_iota == rc[:, None]).astype(jnp.bfloat16)
+        onehot_c = (col_iota == cc[:, None]).astype(jnp.bfloat16)
+        colvals = onehot_c * vc.astype(jnp.bfloat16)[:, None]
+        d = jax.lax.dot_general(onehot_r, colvals,
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return acc + d, None
+
+    zeros = jnp.zeros((rows, row_width), jnp.float32)
+    acc, _ = jax.lax.scan(body, zeros, (vals, r, c))
+    return acc.reshape(-1)

@@ -168,7 +168,12 @@ def scatter_bench():
 
     n, hw = N, HW
     key = jr.PRNGKey(7)
-    cells = jr.randint(key, (B, n), 0, hw, jnp.int32)
+    # per-env PERMUTATION prefix (as tests/test_mxu_scatter.py): masked rows
+    # must hit distinct cells or the MXU variant's byte-plane accumulation
+    # (and its checksum) is not comparable to the at[].set variant
+    # (round-2 advisor finding)
+    cells = jax.vmap(lambda k: jr.permutation(k, hw)[:n].astype(jnp.int32))(
+        jr.split(key, B))
     vals = jr.uniform(jr.fold_in(key, 1), (B, n), jnp.float32)
     mask = jr.uniform(jr.fold_in(key, 2), (B, n)) < 0.1
     slot = jnp.arange(n, dtype=jnp.int32)
