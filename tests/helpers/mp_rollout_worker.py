@@ -54,3 +54,9 @@ run = jax.jit(
 _, rewards, nums = run(states, keys)
 print("REWARDS", " ".join(f"{v:.6f}" for v in
                           np.asarray(rewards).reshape(-1)), flush=True)
+# per-host PRNG stream evidence: the env keys THIS host materialized
+# (fold_in(master, global_env_index) — the test asserts hosts' key sets
+# are pairwise disjoint and match the global derivation)
+local_keys = np.stack([np.asarray(jr.fold_in(jr.PRNGKey(1), b)) for b in my])
+print("LOCALKEYS", pid,
+      " ".join(f"{int(k[0])}:{int(k[1])}" for k in local_keys), flush=True)

@@ -22,23 +22,30 @@ B = 4
 STEPS = 5
 
 
+def _run_cluster(worker, nproc, port, env):
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), str(nproc), str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+        for pid in range(nproc)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, err[-2000:]
+        outs.append(out)
+    return outs
+
+
 @pytest.mark.slow
-def test_two_process_rollout_matches_single():
+@pytest.mark.parametrize("nproc,port", [(2, 23789), (4, 23797)])
+def test_multi_process_rollout_matches_single(nproc, port):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     # workers manage their own platform; keep the virtual-device flag out so
     # each process exposes exactly one CPU device
-    procs = [subprocess.Popen(
-        [sys.executable, WORKER, str(pid), "2", "23789"],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
-        for pid in range(2)]
-    outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=300)
-        assert p.returncode == 0, err[-2000:]
-        outs.append(out)
+    outs = _run_cluster(WORKER, nproc, port, env)
 
     rewards_mp = None
+    host_keys = {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("REWARDS"):
@@ -48,7 +55,21 @@ def test_two_process_rollout_matches_single():
                     rewards_mp = vals
                 else:
                     assert np.array_equal(rewards_mp, vals)
+            elif line.startswith("LOCALKEYS"):
+                parts = line.split()
+                host_keys[int(parts[1])] = set(parts[2:])
     assert rewards_mp is not None
+
+    # per-host PRNG stream disjointness: every host materialized a distinct,
+    # non-overlapping set of env keys, matching the global derivation
+    assert len(host_keys) == nproc
+    allk = [k for ks in host_keys.values() for k in ks]
+    assert len(allk) == len(set(allk)) == B
+    import jax.random as _jr
+    expected = {f"{int(k[0])}:{int(k[1])}" for k in
+                (np.asarray(_jr.fold_in(_jr.PRNGKey(1), b))
+                 for b in range(B))}
+    assert set(allk) == expected
 
     # single-process reference
     dyn = FastDynamics()
@@ -122,9 +143,10 @@ SPATIAL_WORKER = os.path.join(os.path.dirname(__file__), "helpers",
 
 
 @pytest.mark.slow
-def test_two_process_spatial_rollout_matches_single():
-    """Field rows sharded across a REAL 2-process cluster (halo exchange
-    crosses the process boundary; wave flow active): final-state digests
+@pytest.mark.parametrize("nproc,port", [(2, 23791), (4, 23799)])
+def test_multi_process_spatial_rollout_matches_single(nproc, port):
+    """Field rows sharded across a REAL multi-process cluster (halo exchange
+    crosses the process boundaries; wave flow active): final-state digests
     must be bitwise identical to the single-process unsharded rollout."""
     from die_tpu.core.config import FlowConfig
     from die_tpu.core.rng import np_key
@@ -136,15 +158,7 @@ def test_two_process_spatial_rollout_matches_single():
     # sincos parity) but NOT the 8-virtual-device flag
     env["XLA_FLAGS"] = ("--xla_cpu_max_isa=AVX "
                         "--xla_disable_hlo_passes=algsimp")
-    procs = [subprocess.Popen(
-        [sys.executable, SPATIAL_WORKER, str(pid), "2", "23791"],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
-        for pid in range(2)]
-    outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=300)
-        assert p.returncode == 0, err[-2000:]
-        outs.append(out)
+    outs = _run_cluster(SPATIAL_WORKER, nproc, port, env)
 
     digests, nums_mp = set(), None
     for out in outs:
@@ -173,3 +187,59 @@ def test_two_process_spatial_rollout_matches_single():
     assert int(line[2]) == digest(out_ref.chem)
     assert int(line[3]) == digest(out_ref.env_food)
     assert int(line[4]) == digest(out_ref.agent_food)
+
+
+BANDED_WORKER = os.path.join(os.path.dirname(__file__), "helpers",
+                             "mp_banded_worker.py")
+
+
+@pytest.mark.slow
+def test_two_process_banded_kernel_under_mesh():
+    """The banded Pallas kernel under a process-spanning mesh (round-3
+    pod-readiness): each process's device runs the banded kernel on its env
+    shard inside ONE shard_map program with a cross-process psum of the
+    rewards — the realistic large-field pod deployment.  Per-env final
+    states must be bitwise identical to single-process banded runs, and the
+    psum'd rewards must equal the per-env sums."""
+    import jax.random as jr_
+
+    from die_tpu.fast.pallas_step import pallas_banded_rollout
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["XLA_FLAGS"] = ("--xla_cpu_max_isa=AVX "
+                        "--xla_disable_hlo_passes=algsimp")
+    outs = _run_cluster(BANDED_WORKER, 2, 23795, env)
+
+    env_digests, grewards, nums = {}, set(), {}
+    for i, out in enumerate(outs):
+        for line in out.splitlines():
+            if line.startswith("ENVDIGEST"):
+                parts = line.split()
+                env_digests[int(parts[1])] = parts[2:]
+            elif line.startswith("GREWARDS"):
+                grewards.add(line)
+            elif line.startswith("NUMS"):
+                nums[i] = [int(v) for v in line.split()[1:]]
+    assert len(env_digests) == 2
+    assert len(grewards) == 1  # both processes agree on the global psum
+
+    def digest(x):
+        bits = np.asarray(x).view(np.uint32)
+        with np.errstate(over="ignore"):
+            return int(np.add.reduce(bits.reshape(-1), dtype=np.uint32))
+
+    dyn = FastDynamics(agents_die=True)
+    total = None
+    for pid in range(2):
+        st = fast_init_jax(jr_.fold_in(jr_.PRNGKey(0), pid), (32, 128), dyn)
+        ref, rew, ref_nums = jax.jit(lambda s, k: pallas_banded_rollout(
+            dyn, s, k, 4, num_bands=2, interpret=True))(
+            st, jr_.fold_in(jr_.PRNGKey(1), pid))
+        got = env_digests[pid]
+        assert float(got[0]) == float(np.asarray(jnp.sum(ref.occ)))
+        assert int(got[1]) == digest(ref.chem)
+        assert int(got[2]) == digest(ref.agent_food)
+        assert nums[pid] == [int(v) for v in np.asarray(ref_nums)]
+        total = np.asarray(rew) if total is None else total + np.asarray(rew)
+    assert grewards.pop().split()[1:] == [f"{v:.6f}" for v in total]
