@@ -82,6 +82,33 @@ class FastDynamics:
         return cls(flow=flow, **d)
 
 
+def tuned_dynamics(num_dirs: int = 8, **overrides) -> FastDynamics:
+    """Per-lattice tuned operating points (held-out foraging, the
+    eval_lattice protocol: 64x64, 50 steps, 32 seeds).
+
+    The class defaults are the 8-direction (Moore) operating point.  The
+    16-direction lattice's knight offsets traverse 2 cells per hop, so the
+    8-dir defaults overshoot trails (held-out 33 vs 283); the round-3
+    sweeps (tools/sweep_dirs16.py, selection seeds disjoint from the
+    held-out block) found its own point: probe at sense_dist 2 (4 rows),
+    light deposit on a wider-diffusing chem field, and KEEP the heading
+    when blocked — on a 16-way lattice the Jones re-randomization rerolls
+    over too many directions and destroys persistence.  Held-out foraging
+    653.6 vs the 8-dir default's 283.1 (2.3x) — the finest-turning lattice
+    (the closest analog of the reference Physarum's 30-degree turns) is
+    now also the best forager, matching the reference's qualitative
+    ordering (/root/reference/README.md:17).
+    """
+    if num_dirs == 16:
+        base = dict(num_dirs=16, sense_dist=2, deposit_coef=0.5,
+                    rate_decay_chem=0.05, diffuse_sigma=1.25,
+                    idle_deposit=0.025, randomize_on_block=False)
+    else:
+        base = dict(num_dirs=num_dirs)
+    base.update(overrides)
+    return FastDynamics(**base)
+
+
 # 8 lattice directions, counter-clockwise starting East, as (dx, dy) in
 # (row, col) = (x, y) array axes.  d+1 is a 45-degree left turn.
 DIR_OFFSETS = (
