@@ -272,6 +272,92 @@ def _diffuse_decay(dynamics: Dynamics, medium):
     return medium.at[ch.CH_MED_CHEM].set(diffused)
 
 
+def _feed_with_carry(dynamics: Dynamics, medium, agents, action):
+    """Substep 3, fused-sense variant: gathers (env_food, occupancy) at the
+    agents' cells through one shared one-hot and derives BOTH the consumed
+    amount and the NEXT step's sensed food value — bitwise-equal to
+    ``_feed`` + the next policy call's own food gather, because the gather
+    moves exact bits and the per-agent expressions repeat the field-side
+    arithmetic on the same bits:
+
+      consumed_field[c] = (rate*e[c]) * occ[c]     (field, for the decrement)
+      consumed_i        = (rate*e_g) * occ_g       (same ops, same bits)
+      next_food[c]      = e[c] - consumed_field[c] (field)
+      carry_i           = e_g - consumed_i         (same ops, same bits)
+
+    Only valid when nothing between feed(t) and sense(t+1) can change the
+    agent's cell or the food it would sense there — the caller
+    (``env_step_carry``) gates on flow='none', agents_die=False, and
+    apply_sense_mask=False.
+
+    Returns (medium, agents, gained, sense_carry).
+    """
+    W, H = medium.shape[-2], medium.shape[-1]
+    env_food = medium[ch.CH_MED_FOOD]
+    occupancy_mask = (medium[ch.CH_MED_AGENTS] > _F0).astype(jnp.float32)
+    consumed_field = np.float32(dynamics.rate_feed) * env_food * occupancy_mask
+
+    ix, iy = agent_cells(agents, (W, H))
+    cell = ix * H + iy
+    from die_tpu.ops.mxu_gather import mxu_gather_enabled, onehot_gather_mixed
+
+    if mxu_gather_enabled() and (W * H) % 128 == 0:
+        (f_g,), (occ_g,) = onehot_gather_mixed(
+            (env_food.reshape(-1),), (occupancy_mask.reshape(-1),), cell)
+    else:
+        f_g = jnp.take(env_food.reshape(-1), cell)
+        occ_g = jnp.take(occupancy_mask.reshape(-1), cell)
+    consumed = (np.float32(dynamics.rate_feed) * f_g) * occ_g
+
+    if not dynamics.food_infinite:
+        medium = medium.at[ch.CH_MED_FOOD].set(env_food - consumed_field)
+        sense_carry = f_g - consumed
+    else:
+        sense_carry = f_g
+
+    if dynamics.zero_cost:
+        burned = jnp.zeros_like(consumed)
+    else:
+        dist = hypot2(action[ch.CH_ACT_DX], action[ch.CH_ACT_DY])
+        burned = (
+            np.float32(dynamics.cost_weight_deposit) * jnp.abs(action[ch.CH_ACT_DEPOSIT])
+            + np.float32(dynamics.cost_weight_dist) * dist
+        )
+    gained = consumed - burned
+    agents = agents.at[ch.CH_AGT_FOOD].set(agents[ch.CH_AGT_FOOD] + gained)
+    return medium, agents, gained, sense_carry
+
+
+def fused_sense_ok(dynamics: Dynamics) -> bool:
+    """Whether ``env_step_carry``'s sense carry is valid (see
+    ``_feed_with_carry``): no flow, no deaths, no sense mask."""
+    return (dynamics.flow.kind == "none" and not dynamics.agents_die
+            and not dynamics.apply_sense_mask)
+
+
+def env_step_carry(dynamics: Dynamics, state: EnvState, action):
+    """``env_step`` that also returns the NEXT step's per-slot sensed-food
+    values (the fused-sense rollout optimization: feed's gather and the
+    next policy food gather share indices, so one mixed gather serves
+    both — saves ~3 of the step's 17 MXU dot passes, docs/PERF.md round
+    3).  Caller must check :func:`fused_sense_ok`."""
+    assert fused_sense_ok(dynamics)
+    agents = _move(dynamics, state.agents, action)
+    medium = _deposit_and_layout(dynamics, state.medium, agents, action)
+    medium, agents, gained, carry = _feed_with_carry(dynamics, medium,
+                                                     agents, action)
+    medium = _diffuse_decay(dynamics, medium)
+
+    num_agents = jnp.sum((agents[ch.CH_AGT_ALIVE] > _F0).astype(jnp.int32))
+    reward = tree_sum(gained)
+    safe_n = jnp.where(num_agents > 0, num_agents, 1).astype(jnp.float32)
+    mean_reward = jnp.where(num_agents > 0, div(reward, safe_n), _F0)
+    info = StepInfo(reward=reward, num_agents=num_agents,
+                    mean_reward=mean_reward, terminated=num_agents == 0)
+    return (EnvState(medium=medium, agents=agents,
+                     flow_step=state.flow_step), info, carry)
+
+
 def env_step(dynamics: Dynamics, state: EnvState, action):
     """One full environment step.  Pure; jit with ``dynamics`` static."""
     agents = _move(dynamics, state.agents, action)

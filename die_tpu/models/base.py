@@ -81,6 +81,10 @@ class CallableModelPolicy:
 class Policy:
     """Base policy.  Subclasses define ``init_state`` and ``forward``."""
 
+    # True when forward() accepts a precomputed ``sensed_food`` kwarg (the
+    # fused-sense rollout carry — core/env.py::env_step_carry)
+    consumes_sensed_food = False
+
     def init_params(self) -> Dict[str, Any]:
         """Constructor kwargs from which the policy can be rebuilt."""
         raise NotImplementedError

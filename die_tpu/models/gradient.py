@@ -117,6 +117,16 @@ class GradientPolicy(Policy):
         Returns (grad_xy, direction, deposit_mask)."""
         return grad_xy, direction, None
 
+    def _uses_direction_only(self) -> bool:
+        """True when the turn logic consumes ONLY atan2(gy, gx) of the
+        gathered gradient pair (Physarum with normalized gradients): the
+        direction can then be computed FIELD-side and gathered as one
+        field — 4 byte-plane dots instead of 8, bitwise-identical
+        (the gather moves exact bits, and atan2 per cell equals atan2 per
+        agent on the same bits).  Measured: policy 40.6 -> ~27 ms/batch-
+        step at B=64 (docs/PERF.md round 3)."""
+        return False
+
     def _process_deposit(self, sensed_food, deposit_mask):
         """deposit * sensed_food (core/agent/gradient.py:93-94)."""
         return np.float32(self._deposit) * sensed_food
@@ -133,7 +143,13 @@ class GradientPolicy(Policy):
         return [GradientFieldRenderer.render(np_.asarray(gx),
                                              np_.asarray(gy))]
 
-    def forward(self, params, pstate: GradientState, obs, key):
+    # the fused-sense rollout may pass the food value this policy would
+    # gather (feed(t)'s gather shares indices with sense(t+1) — see
+    # core/env.py::env_step_carry)
+    consumes_sensed_food = True
+
+    def forward(self, params, pstate: GradientState, obs, key,
+                sensed_food=None):
         agents, medium = obs
         W, H = medium.shape[-2], medium.shape[-1]
         chem = medium[ch.CH_MED_CHEM]
@@ -151,21 +167,37 @@ class GradientPolicy(Policy):
             onehot_gather_multi,
         )
 
-        if mxu_gather_enabled() and (W * H) % 128 == 0:
-            # MXU route for the hot sense gather (bit-identical to
-            # jnp.take INCLUDING the sign of dead +-0 gradients, which
-            # atan2 observes; avoids XLA:TPU's serialized-loop lowering)
-            gpx, gpy = onehot_gather_multi(
-                (gx.reshape(-1), gy.reshape(-1)), cx * H + cy)
+        if self._uses_direction_only():
+            # field-side direction: atan2 over the (clipped) gradient
+            # FIELD, then ONE gathered field instead of the (gx, gy) pair
+            # — halves the dominant policy gather; bitwise-identical
+            # because the gather moves exact bits and atan2(cell bits) ==
+            # atan2(agent bits)
+            drads_field = atan2(gy, gx)
+            if mxu_gather_enabled() and (W * H) % 128 == 0:
+                (drads,) = onehot_gather_multi(
+                    (drads_field.reshape(-1),), cx * H + cy)
+            else:
+                drads = jnp.take(drads_field.reshape(-1), cx * H + cy)
+            (gpx, gpy), direction, deposit_mask = \
+                self._process_gradient_rads(drads, pstate.direction_rads,
+                                            key)
         else:
-            # one 2-wide row gather instead of two scalar gathers (same
-            # values; halves the serialized-gather cost)
-            g_rows = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
-            per = jnp.take(g_rows, cx * H + cy, axis=0)
-            gpx, gpy = per[:, 0], per[:, 1]
+            if mxu_gather_enabled() and (W * H) % 128 == 0:
+                # MXU route for the hot sense gather (bit-identical to
+                # jnp.take INCLUDING the sign of dead +-0 gradients, which
+                # atan2 observes; avoids XLA:TPU's serialized-loop lowering)
+                gpx, gpy = onehot_gather_multi(
+                    (gx.reshape(-1), gy.reshape(-1)), cx * H + cy)
+            else:
+                # one 2-wide row gather instead of two scalar gathers (same
+                # values; halves the serialized-gather cost)
+                g_rows = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
+                per = jnp.take(g_rows, cx * H + cy, axis=0)
+                gpx, gpy = per[:, 0], per[:, 1]
 
-        (gpx, gpy), direction, deposit_mask = self._process_gradient(
-            (gpx, gpy), pstate.direction_rads, key)
+            (gpx, gpy), direction, deposit_mask = self._process_gradient(
+                (gpx, gpy), pstate.direction_rads, key)
 
         # momentum + noise (core/agent/gradient.py:82-91)
         inertia = np.float32(self._inertia)
@@ -180,9 +212,11 @@ class GradientPolicy(Policy):
         new_direction = atan2(gpy, gpx)
 
         # deposit relative to sensed food at unoffset coords
-        # (core/agent/gradient.py:115-117)
-        ix, iy = agent_cells(agents, (W, H))
-        sensed_food = gather_field(medium[ch.CH_MED_FOOD], ix, iy)
+        # (core/agent/gradient.py:115-117); a fused-sense rollout passes
+        # the bit-identical carried value instead (one fewer gather)
+        if sensed_food is None:
+            ix, iy = agent_cells(agents, (W, H))
+            sensed_food = gather_field(medium[ch.CH_MED_FOOD], ix, iy)
         deposit = self._process_deposit(sensed_food, deposit_mask)
 
         action = jnp.stack([gpx * np.float32(self._scale),
@@ -229,12 +263,23 @@ class PhysarumPolicy(GradientPolicy):
         (core/agent/gradient.py:162-166)."""
         return discretize(direction, self._turn_radians)
 
+    def _uses_direction_only(self) -> bool:
+        # with normalized gradients the sensed magnitude dr is never
+        # consumed (r = 1 below), so the turn needs only atan2(gy, gx)
+        return self._normalized
+
     def _process_gradient(self, grad_xy, direction, key):
         """Discrete turn (core/agent/gradient.py:165-208)."""
         gpx, gpy = grad_xy
         dr = hypot2(gpx, gpy)
         drads = atan2(gpy, gpx)
+        return self._turn_from_rads(drads, dr, direction, key)
 
+    def _process_gradient_rads(self, drads, direction, key):
+        """Single-field path: the gathered field-side atan2(gy, gx)."""
+        return self._turn_from_rads(drads, None, direction, key)
+
+    def _turn_from_rads(self, drads, dr, direction, key):
         # _choose_turn (core/agent/gradient.py:168-193)
         dir_delta = renormalize_radians(direction - drads)
         abs_drads = jnp.abs(drads)

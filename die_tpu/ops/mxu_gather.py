@@ -69,11 +69,13 @@ def _byte_planes(field):
         for k in range(4))
 
 
-def onehot_gather_flat(flat, idx, row_width: int = 128, chunk: int = 2048):
+def onehot_gather_flat(flat, idx, row_width: int = None, chunk: int = 2048):
     """out[i] = flat[idx[i]] via the MXU one-hot two-stage formulation.
 
     ``flat``: f32[M] with M % row_width == 0; ``idx``: i32[N] in [0, M).
     N is padded up to a multiple of ``chunk`` internally.
+    ``row_width=None`` picks 256 when M allows it, else 128 (the 256-wide
+    dot measured +6%% end-to-end MAC rate — docs/PERF.md round 3).
 
     Each byte plane rides a single-pass bf16 dot with f32 accumulation —
     the one-hot side is exact in bf16, byte values are exact in bf16,
@@ -86,7 +88,7 @@ def onehot_gather_flat(flat, idx, row_width: int = 128, chunk: int = 2048):
     return onehot_gather_multi((flat,), idx, row_width, chunk)[0]
 
 
-def onehot_gather_multi(flats, idx, row_width: int = 128,
+def onehot_gather_multi(flats, idx, row_width: int = None,
                         chunk: int = 2048):
     """Gather K fields at the same indices, sharing one one-hot
     construction per chunk: returns a tuple of f32[N], each bit-identical
@@ -94,6 +96,8 @@ def onehot_gather_multi(flats, idx, row_width: int = 128,
     The MXU MAC count still scales with K, but the one-hot build, index
     math, and XLA-level plumbing amortize."""
     m = flats[0].shape[0]
+    if row_width is None:
+        row_width = 256 if m % 256 == 0 else 128
     assert m % row_width == 0
     rows = m // row_width
     fields = [f.reshape(rows, row_width) for f in flats]
@@ -129,6 +133,57 @@ def onehot_gather_multi(flats, idx, row_width: int = 128,
 
     outs = jax.lax.map(one_chunk, (r, c))
     return tuple(o.reshape(-1)[:n] for o in outs)
+
+
+def onehot_gather_mixed(byte_flats, small_flats, idx, row_width: int = None,
+                        chunk: int = 2048):
+    """Gather ``byte_flats`` (arbitrary f32 — 4 byte-plane dots each) and
+    ``small_flats`` (values exact in bf16, e.g. 0/1 occupancy — 1 dot
+    each) at shared indices through ONE one-hot construction per chunk.
+    Returns (byte_results, small_results), each bit-identical to
+    ``jnp.take``."""
+    m = (byte_flats or small_flats)[0].shape[0]
+    if row_width is None:
+        row_width = 256 if m % 256 == 0 else 128
+    assert m % row_width == 0
+    rows = m // row_width
+    bfields = [f.reshape(rows, row_width) for f in byte_flats]
+    sfields = [f.reshape(rows, row_width).astype(jnp.bfloat16)
+               for f in small_flats]
+    n = idx.shape[0]
+    pad = (-n) % chunk
+    if pad:
+        idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
+    r = (idx // row_width).astype(jnp.int32).reshape(-1, chunk)
+    c = (idx % row_width).astype(jnp.int32).reshape(-1, chunk)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, rows), 1)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, row_width), 1)
+    all_planes = [_byte_planes(f) for f in bfields]
+
+    def one_chunk(args):
+        rc, cc = args
+        onehot_r = (row_iota == rc[:, None]).astype(jnp.bfloat16)
+        onehot_c = (col_iota == cc[:, None]).astype(jnp.float32)
+        bouts = []
+        for planes in all_planes:
+            acc = None
+            for k, p in enumerate(planes):
+                picked = jax.lax.dot(onehot_r, p,
+                                     preferred_element_type=jnp.float32)
+                byte = jnp.sum(picked * onehot_c, axis=1)
+                d = byte.astype(jnp.uint32) << np.uint32(8 * k)
+                acc = d if acc is None else acc | d
+            bouts.append(jax.lax.bitcast_convert_type(acc, jnp.float32))
+        souts = []
+        for f in sfields:
+            picked = jax.lax.dot(onehot_r, f,
+                                 preferred_element_type=jnp.float32)
+            souts.append(jnp.sum(picked * onehot_c, axis=1))
+        return tuple(bouts), tuple(souts)
+
+    bouts, souts = jax.lax.map(one_chunk, (r, c))
+    return (tuple(o.reshape(-1)[:n] for o in bouts),
+            tuple(o.reshape(-1)[:n] for o in souts))
 
 
 def onehot_gather_smallint(flats, idx, row_width: int = 128,

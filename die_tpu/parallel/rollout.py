@@ -44,7 +44,42 @@ def policy_env_step(dynamics: Dynamics, policy, params, state, pstate, key_t):
 
 def rollout(dynamics: Dynamics, policy, params, state, pstate, key,
             num_steps: int, t0: int = 0) -> RolloutResult:
-    """Run ``num_steps`` fused steps from step index ``t0`` (pure, jittable)."""
+    """Run ``num_steps`` fused steps from step index ``t0`` (pure, jittable).
+
+    When the dynamics allow it and the policy consumes sensed food, the
+    scan carries feed(t)'s gathered food value into sense(t+1) — the two
+    gathers share indices, so one mixed (food, occupancy) gather serves
+    both, bitwise-identically (core/env.py::env_step_carry; saves ~3 of
+    the exact engine's 17 MXU dot passes per step — docs/PERF.md round 3).
+    """
+    from die_tpu.core.env import env_step_carry, fused_sense_ok
+
+    if fused_sense_ok(dynamics) and getattr(policy, "consumes_sensed_food",
+                                            False):
+        from die_tpu.core import channels as ch_
+        from die_tpu.core.env import agent_cells, gather_field
+
+        W, H = state.medium.shape[-2], state.medium.shape[-1]
+        ix, iy = agent_cells(state.agents, (W, H))
+        sense0 = gather_field(state.medium[ch_.CH_MED_FOOD], ix, iy)
+
+        def body_fused(carry, t):
+            state, pstate, sensed = carry
+            key_t = jr.fold_in(key, t)
+            obs = observe(dynamics, state)
+            k_policy = jr.fold_in(key_t, ch.TAG_POLICY)
+            action, pstate = policy.forward(params, pstate, obs, k_policy,
+                                            sensed_food=sensed)
+            state, info, sensed = env_step_carry(dynamics, state, action)
+            return ((state, pstate, sensed),
+                    (info.reward, info.num_agents))
+
+        (state, pstate, _), (rewards, num_agents) = jax.lax.scan(
+            body_fused, (state, pstate, sense0),
+            jnp.arange(num_steps) + t0)
+        return RolloutResult(state=state, pstate=pstate, rewards=rewards,
+                             num_agents=num_agents,
+                             total_reward=jnp.sum(rewards))
 
     def body(carry, t):
         state, pstate = carry

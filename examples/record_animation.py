@@ -27,7 +27,7 @@ from die_tpu.render.renderer import EnvRenderer
 
 def record_fast(filename="animation.gif", field_size=(128, 128),
                 num_frames=100, agent_ratio=0.15, seed=0, headless=True,
-                steps_per_frame=2, flow="none", num_dirs=8):
+                steps_per_frame=2, flow="none", num_dirs=8, tuned=False):
     """GIF of the fast lattice engine.  ``flow='wave'`` is the visual twin
     of the reference's dyn-pred dynamic-environment preset
     (/root/reference/examples/learning_agents.py:124-129)."""
@@ -39,8 +39,14 @@ def record_fast(filename="animation.gif", field_size=(128, 128),
     from die_tpu.fast.render_adapter import make_fast_render_fn
     from die_tpu.fast.rollout import fast_rollout
 
-    dyn = FastDynamics(init_agent_ratio=agent_ratio, num_dirs=num_dirs,
-                       flow=FlowConfig(kind=flow))
+    if tuned:
+        from die_tpu.fast.config import tuned_dynamics
+
+        dyn = tuned_dynamics(num_dirs, init_agent_ratio=agent_ratio,
+                             flow=FlowConfig(kind=flow))
+    else:
+        dyn = FastDynamics(init_agent_ratio=agent_ratio, num_dirs=num_dirs,
+                           flow=FlowConfig(kind=flow))
     master = jr.PRNGKey(seed)
     holder = {"state": fast_init_jax(
         jr.fold_in(master, ch.TAG_SESSION_ENV_INIT), field_size, dyn)}
@@ -105,9 +111,12 @@ if __name__ == "__main__":
                     help="fast engine only: dynamic food flow (dyn-pred)")
     ap.add_argument("--dirs", type=int, default=8, choices=[4, 8, 16],
                     help="fast engine only: lattice resolution")
+    ap.add_argument("--tuned", action="store_true",
+                    help="use the per-lattice tuned operating point "
+                         "(fast/config.py::tuned_dynamics)")
     args = ap.parse_args()
     if args.engine == "fast":
         record_fast(args.out, (args.size, args.size), args.frames,
-                    flow=args.flow, num_dirs=args.dirs)
+                    flow=args.flow, num_dirs=args.dirs, tuned=args.tuned)
     else:
         record(args.out, (args.size, args.size), args.frames)
