@@ -115,17 +115,23 @@ def onehot_gather_multi(flats, idx, row_width: int = None,
         # per-plane narrow dots, each fusing into its column pick — a
         # single wide dot over concatenated planes was measured ~1.7x
         # SLOWER end-to-end (the [chunk, 4K*row_width] picked intermediate
-        # materializes instead of fusing; docs/PERF.md round-2b)
+        # materializes instead of fusing; docs/PERF.md round-2b).
+        # The picked intermediate is HBM traffic (XLA materializes matmul
+        # outputs), so it rides in bf16: byte values <= 255 are exact, and
+        # the one-hot column pick adds one nonzero to zeros — exact in any
+        # precision (docs/PERF.md round 3: the gathers are HBM-bound on
+        # this intermediate, not MXU-bound).
         rc, cc = args
         onehot_r = (row_iota == rc[:, None]).astype(jnp.bfloat16)
-        onehot_c = (col_iota == cc[:, None]).astype(jnp.float32)
+        onehot_c = (col_iota == cc[:, None]).astype(jnp.bfloat16)
         outs = []
         for planes in all_planes:
             acc = None
             for k, p in enumerate(planes):
                 picked = jax.lax.dot(onehot_r, p,
-                                     preferred_element_type=jnp.float32)
-                byte = jnp.sum(picked * onehot_c, axis=1)
+                                     preferred_element_type=jnp.bfloat16)
+                byte = jnp.sum((picked * onehot_c).astype(jnp.float32),
+                               axis=1)
                 d = byte.astype(jnp.uint32) << np.uint32(8 * k)
                 acc = d if acc is None else acc | d
             outs.append(jax.lax.bitcast_convert_type(acc, jnp.float32))
@@ -161,24 +167,28 @@ def onehot_gather_mixed(byte_flats, small_flats, idx, row_width: int = None,
     all_planes = [_byte_planes(f) for f in bfields]
 
     def one_chunk(args):
+        # bf16 picked intermediates: exact for byte/bf16-exact values, and
+        # halves the HBM-bound matmul-output traffic (see onehot_gather_multi)
         rc, cc = args
         onehot_r = (row_iota == rc[:, None]).astype(jnp.bfloat16)
-        onehot_c = (col_iota == cc[:, None]).astype(jnp.float32)
+        onehot_c = (col_iota == cc[:, None]).astype(jnp.bfloat16)
         bouts = []
         for planes in all_planes:
             acc = None
             for k, p in enumerate(planes):
                 picked = jax.lax.dot(onehot_r, p,
-                                     preferred_element_type=jnp.float32)
-                byte = jnp.sum(picked * onehot_c, axis=1)
+                                     preferred_element_type=jnp.bfloat16)
+                byte = jnp.sum((picked * onehot_c).astype(jnp.float32),
+                               axis=1)
                 d = byte.astype(jnp.uint32) << np.uint32(8 * k)
                 acc = d if acc is None else acc | d
             bouts.append(jax.lax.bitcast_convert_type(acc, jnp.float32))
         souts = []
         for f in sfields:
             picked = jax.lax.dot(onehot_r, f,
-                                 preferred_element_type=jnp.float32)
-            souts.append(jnp.sum(picked * onehot_c, axis=1))
+                                 preferred_element_type=jnp.bfloat16)
+            souts.append(jnp.sum((picked * onehot_c).astype(jnp.float32),
+                                 axis=1))
         return tuple(bouts), tuple(souts)
 
     bouts, souts = jax.lax.map(one_chunk, (r, c))
@@ -210,12 +220,13 @@ def onehot_gather_smallint(flats, idx, row_width: int = 128,
     def one_chunk(args):
         rc, cc = args
         onehot_r = (row_iota == rc[:, None]).astype(jnp.bfloat16)
-        onehot_c = (col_iota == cc[:, None]).astype(jnp.float32)
+        onehot_c = (col_iota == cc[:, None]).astype(jnp.bfloat16)
         outs = []
         for f in fields:
             picked = jax.lax.dot(onehot_r, f,
-                                 preferred_element_type=jnp.float32)
-            outs.append(jnp.sum(picked * onehot_c, axis=1))
+                                 preferred_element_type=jnp.bfloat16)
+            outs.append(jnp.sum((picked * onehot_c).astype(jnp.float32),
+                                axis=1))
         return tuple(outs)
 
     outs = jax.lax.map(one_chunk, (r, c))

@@ -1,0 +1,48 @@
+"""Pallas fused one-hot gather (interpret mode): bit-identical to jnp.take,
+including -0.0, subnormal, and NaN-payload cells."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import pytest
+
+from die_tpu.ops.pallas_gather import pallas_onehot_gather
+
+
+def _check(flats, idx, **kw):
+    outs = jax.jit(lambda f, i: pallas_onehot_gather(
+        f, i, interpret=True, **kw))(flats, idx)
+    for f, o in zip(flats, outs):
+        want = jnp.take(f, idx)
+        assert np.array_equal(np.asarray(o).view(np.uint32),
+                              np.asarray(want).view(np.uint32))
+
+
+@pytest.mark.parametrize("m,n", [(65536, 4096), (4096, 1024), (8192, 777)])
+def test_matches_take_random(m, n):
+    key = jr.PRNGKey(0)
+    f1 = jr.normal(key, (m,), jnp.float32)
+    f2 = jr.uniform(jr.fold_in(key, 1), (m,), jnp.float32)
+    idx = jr.randint(jr.fold_in(key, 2), (n,), 0, m, jnp.int32)
+    _check((f1, f2), idx)
+
+
+def test_exotic_bit_patterns():
+    m = 4096
+    f = np.zeros(m, np.float32)
+    f[0] = -0.0
+    f[1] = np.float32(1e-42)            # subnormal
+    f[2] = np.float32(np.nan)
+    f[3] = -np.float32(np.inf)
+    f[4] = np.float32(-1e-40)           # negative subnormal
+    f[5:] = np.arange(m - 5, dtype=np.float32)
+    idx = jnp.asarray(np.arange(512, dtype=np.int32))
+    _check((jnp.asarray(f),), idx)
+
+
+def test_row_width_variants():
+    m = 65536
+    f = jr.normal(jr.PRNGKey(3), (m,), jnp.float32)
+    idx = jr.randint(jr.PRNGKey(4), (1000,), 0, m, jnp.int32)
+    _check((f,), idx, row_width=128)
+    _check((f,), idx, row_width=512)
