@@ -19,6 +19,9 @@ Shared with the engine, deliberately and only:
     per-step derivation (``np_step_bits``) ARE the spec's random inputs;
   * the flow-field input generators (``ops/waves.flow_field_any``) — input
     fields pinned by their own vs-reference tests, not step logic;
+  * the ``core/mathx`` transcendental contract kernels (tanh for the
+    learned conv rule) — the arithmetic spec layer, contract-tested on its
+    own in tests/test_mathx.py;
   * the ``FastEnvState``/``FastDynamics`` data containers (no logic).
 
 All arithmetic is np.float32 scalar ops in the engine's pinned operation
@@ -107,10 +110,99 @@ def _fold_pairwise(vals):
     return vals[0]
 
 
+def naive_linear_turn(params):
+    """Per-cell restatement of the learned LINEAR turn rule
+    (die_tpu/fast/learned.py::make_turn_rule): ascending-order affine
+    logits over (left, fwd, right, env_food, agent_food, chem) and the
+    pinned keep>=left>=right tie-breaking."""
+    params = np.asarray(params, np.float32)
+
+    def fn(left, fwd, right, st: FastEnvState):
+        W, H = left.shape
+        feats = (left, fwd, right, np.asarray(st.env_food),
+                 np.asarray(st.agent_food), np.asarray(st.chem))
+        turn = np.zeros((W, H), np.float32)
+        for i in range(W):
+            for j in range(H):
+                logits = []
+                for a in range(3):
+                    acc = np.float32(params[a, 6] * _F1)  # bias
+                    for f in range(6):
+                        acc = np.float32(
+                            acc + np.float32(params[a, f] * feats[f][i, j]))
+                    logits.append(acc)
+                l_left, l_keep, l_right = logits
+                m = max(l_keep, l_left)
+                if l_right > m:
+                    turn[i, j] = np.float32(-1.0)
+                elif l_left > l_keep:
+                    turn[i, j] = _F1
+        return turn
+
+    return fn
+
+
+def naive_conv_turn(params):
+    """Per-cell restatement of the conv-NCA turn rule
+    (die_tpu/fast/nca.py::make_conv_turn_rule): explicit wrap-indexed 3x3
+    accumulation in the pinned ascending (out, in, du, dv) order, the
+    shared tanh contract kernel, a 1x1 head with optional bias, and the
+    pinned tie-breaking."""
+    conv = np.asarray(params.conv, np.float32)     # [hidden, 7, 3, 3]
+    head = np.asarray(params.head, np.float32)     # [3, hidden, 1, 1]
+    bias = None if params.bias is None else np.asarray(params.bias,
+                                                       np.float32)
+
+    def fn(left, fwd, right, st: FastEnvState):
+        from die_tpu.core.mathx import tanh
+
+        W, H = left.shape
+        feats = (left, fwd, right, np.asarray(st.occ),
+                 np.asarray(st.agent_food), np.asarray(st.env_food),
+                 np.asarray(st.chem))
+        hidden_n, c_in, k, _ = conv.shape
+        r = k // 2
+        hidden = np.zeros((hidden_n, W, H), np.float32)
+        for h in range(hidden_n):
+            for i in range(W):
+                for j in range(H):
+                    acc = None
+                    for c in range(c_in):
+                        for du in range(k):
+                            for dv in range(k):
+                                v = np.float32(
+                                    conv[h, c, du, dv]
+                                    * feats[c][(i + du - r) % W,
+                                               (j + dv - r) % H])
+                                acc = v if acc is None else np.float32(
+                                    acc + v)
+                    hidden[h, i, j] = acc
+        hidden = tanh(hidden)  # the shared transcendental contract kernel
+        logits = []
+        for a in range(3):
+            acc = None
+            for h in range(hidden_n):
+                term = np.float32(head[a, h, 0, 0]) * hidden[h]
+                acc = term if acc is None else acc + term
+            if bias is not None:
+                acc = acc + bias[a]
+            logits.append(acc)
+        l_left, l_keep, l_right = logits
+        m = np.maximum(l_keep, l_left)
+        return np.where(l_right > m, np.float32(-1.0),
+                        np.where(l_left > l_keep, _F1, _F0)
+                        ).astype(np.float32)
+
+    return fn
+
+
 def naive_fast_step(dyn: FastDynamics, state: FastEnvState,
-                    bits: FastStepBits):
+                    bits: FastStepBits, turn_rule_naive=None):
     """One lattice step, naively.  Returns (FastEnvState, reward, num_agents).
 
+    ``turn_rule_naive``: optional (left, fwd, right, state) -> turn field
+    replacing the classic Jones rule (the engine's ``turn_rule`` hook) —
+    see :func:`naive_linear_turn` / :func:`naive_conv_turn`.
     Field shapes must be powers of two (the reward fold contract)."""
     n = dyn.num_dirs
     offs = _offsets(n)
@@ -128,28 +220,47 @@ def naive_fast_step(dyn: FastDynamics, state: FastEnvState,
         rot = int(np.uint32(bits.prio_rot) & np.uint32(n - 1))
         prio = np.full((W, H), rot, np.int64)
 
-    # ---- 1. sense + turn (classic Jones rule): every cell turns, occupied
-    # or not — empty cells' headings drift too (they are engine state).
-    turned = np.zeros((W, H), np.float32)
+    # ---- 1. sense + turn: every cell turns, occupied or not — empty
+    # cells' headings drift too (they are engine state).  The per-cell
+    # probe values are collected into fields first (learned rules read
+    # the probe fields of NEIGHBOR cells through their convolution).
+    S = dyn.sense_dist
+    fwd_f = np.zeros((W, H), np.float32)
+    left_f = np.zeros((W, H), np.float32)
+    right_f = np.zeros((W, H), np.float32)
     for i in range(W):
         for j in range(H):
             d = int(dirf[i, j])
-            S = dyn.sense_dist
 
             def probe(dd):
                 oi, oj = offs[dd % n]
                 return chem[(i + S * oi) % W, (j + S * oj) % H]
 
-            fwd, left, right = probe(d), probe(d + 1), probe(d - 1)
-            if fwd >= left and fwd >= right:
-                t = _F0
-            elif left > right:
-                t = _F1
-            elif right > left:
-                t = np.float32(-1.0)
-            else:  # exact tie, not keep: random sign from the turn bit
-                t = np.float32(2.0) * np.float32(turn_bit[i, j]) - _F1
-            turned[i, j] = np.float32((int(d + t)) % n)
+            fwd_f[i, j] = probe(d)
+            left_f[i, j] = probe(d + 1)
+            right_f[i, j] = probe(d - 1)
+
+    turned = np.zeros((W, H), np.float32)
+    if turn_rule_naive is not None:
+        t_field = turn_rule_naive(left_f, fwd_f, right_f, state)
+        for i in range(W):
+            for j in range(H):
+                turned[i, j] = np.float32(
+                    (int(dirf[i, j] + t_field[i, j])) % n)
+    else:
+        for i in range(W):
+            for j in range(H):
+                d = int(dirf[i, j])
+                fwd, left, right = fwd_f[i, j], left_f[i, j], right_f[i, j]
+                if fwd >= left and fwd >= right:
+                    t = _F0
+                elif left > right:
+                    t = _F1
+                elif right > left:
+                    t = np.float32(-1.0)
+                else:  # exact tie, not keep: random sign from the turn bit
+                    t = np.float32(2.0) * np.float32(turn_bit[i, j]) - _F1
+                turned[i, j] = np.float32((int(d + t)) % n)
 
     # ---- 2. move: push-based proposals, per-target winner by minimal
     # (d - priority[target]) mod n.  A proposal lands only on a PRE-move
@@ -352,7 +463,8 @@ def naive_fast_step(dyn: FastDynamics, state: FastEnvState,
 
 
 def naive_fast_rollout(dyn: FastDynamics, state: FastEnvState,
-                       rollout_key: np.ndarray, num_steps: int, t0: int = 0):
+                       rollout_key: np.ndarray, num_steps: int, t0: int = 0,
+                       turn_rule_naive=None):
     """Rollout via the naive step; RNG bits via the shared contract."""
     from die_tpu.fast.rollout import np_step_bits
 
@@ -361,7 +473,8 @@ def naive_fast_rollout(dyn: FastDynamics, state: FastEnvState,
     nums = np.zeros(num_steps, np.int32)
     for i in range(num_steps):
         bits = np_step_bits(dyn, rollout_key, t0 + i, shape)
-        state, reward, num = naive_fast_step(dyn, state, bits)
+        state, reward, num = naive_fast_step(dyn, state, bits,
+                                             turn_rule_naive=turn_rule_naive)
         rewards[i] = reward
         nums[i] = num
     return state, rewards, nums

@@ -109,6 +109,69 @@ def test_naive_matches_engine_fuzz():
             ) from e
 
 
+def test_naive_matches_learned_linear_rule():
+    """The learned LINEAR turn rule's logic (not just its lowering) pinned
+    by the naive per-cell restatement."""
+    from die_tpu.fast.learned import (
+        make_turn_rule,
+        np_init_turn_params,
+    )
+    from die_tpu.fast.env import fast_step
+    from die_tpu.fast.rollout import np_step_bits
+    from die_tpu.oracle.fast_naive import naive_fast_rollout, \
+        naive_linear_turn
+
+    dyn = FastDynamics()
+    params = np_init_turn_params(np_key(21))
+    st = fast_init_np(np_key(22), SIZE, dyn)
+
+    # engine on numpy with the rule hook
+    rule = make_turn_rule(params)
+    e_state = st
+    e_rewards = []
+    for t in range(8):
+        bits = np_step_bits(dyn, np_key(23), t, SIZE)
+        e_state, r, _ = fast_step(dyn, e_state, bits, turn_rule=rule)
+        e_rewards.append(r)
+    n_state, n_rewards, _ = naive_fast_rollout(
+        dyn, st, np_key(23), 8, turn_rule_naive=naive_linear_turn(params))
+    np.testing.assert_array_equal(np.asarray(e_rewards), n_rewards)
+    for name in ("occ", "dir", "agent_food", "env_food", "chem"):
+        assert np.array_equal(np.asarray(getattr(e_state, name)),
+                              np.asarray(getattr(n_state, name))), name
+
+
+@pytest.mark.parametrize("num_dirs", [8, 16])
+def test_naive_matches_conv_nca_rule(num_dirs):
+    """The conv-NCA turn rule's logic pinned by the naive per-cell
+    restatement (explicit wrap-indexed 3x3 accumulation)."""
+    from die_tpu.fast.env import fast_step
+    from die_tpu.fast.nca import make_conv_turn_rule, \
+        np_init_conv_turn_params
+    from die_tpu.fast.rollout import np_step_bits
+    from die_tpu.oracle.fast_naive import naive_conv_turn, \
+        naive_fast_rollout
+
+    dyn = FastDynamics(num_dirs=num_dirs)
+    params = np_init_conv_turn_params(np_key(31), hidden=4)
+    size = (8, 8)  # the naive conv loop is O(W*H*hidden*c*k^2) Python
+    st = fast_init_np(np_key(32), size, dyn)
+
+    rule = make_conv_turn_rule(params)
+    e_state = st
+    e_rewards = []
+    for t in range(5):
+        bits = np_step_bits(dyn, np_key(33), t, size)
+        e_state, r, _ = fast_step(dyn, e_state, bits, turn_rule=rule)
+        e_rewards.append(r)
+    n_state, n_rewards, _ = naive_fast_rollout(
+        dyn, st, np_key(33), 5, turn_rule_naive=naive_conv_turn(params))
+    np.testing.assert_array_equal(np.asarray(e_rewards), n_rewards)
+    for name in ("occ", "dir", "agent_food", "env_food", "chem"):
+        assert np.array_equal(np.asarray(getattr(e_state, name)),
+                              np.asarray(getattr(n_state, name))), name
+
+
 def test_naive_ties_to_jitted_engine():
     """Close the chain: naive oracle == fast_step(np) == jitted fast_rollout,
     on one config, end to end."""
