@@ -80,6 +80,51 @@ def np_init_conv_turn_params(key: np.ndarray, hidden: int = 8,
     )
 
 
+def jones_mimic_conv_params(hidden: int = 8, gain: float = 32.0,
+                            advance: float = 2.0, side: float = 1.0,
+                            keep_eps: float = 0.01) -> ConvTurnParams:
+    """Hand-constructed conv-NCA weights that imitate the classic Jones
+    argmax rule (fast/env.py turn phase; reference semantics
+    /root/reference/core/agent/gradient.py:138-152) — the ES warm start
+    the round-3 sweeps showed is required on the 16-dir lattice (cold
+    CRN-ES collapses to the keep-only straight-runner, ROADMAP round 3).
+
+    Three hidden units read only the center tap of the probe features:
+      h0 = tanh(gain*(left - fwd)), h1 = tanh(gain*(right - fwd)),
+      h2 = tanh(gain*(left - right))
+    and the head forms
+      l_left = advance*h0 + side*h2, l_keep = 0,
+      l_right = advance*h1 - side*h2.
+    With ``advance > side`` and tanh saturated, the decision chain in
+    make_conv_turn_rule reproduces Jones exactly on strict orderings:
+    fwd max -> both side logits <= side-advance < 0 = keep; left max ->
+    l_left ~ advance+side beats both; right max symmetrically.  On exact
+    ties it keeps, or turns left (left == right > fwd) instead of drawing
+    Jones' random sign — deterministic stand-ins for measure-zero states.
+    ``keep_eps`` is a small keep-logit bias that implements Jones'
+    ``fwd >=`` tie-to-keep: mathx.tanh(0) is ~6e-8 (arithmetic-only
+    approximation), so without it every all-tie cell would read a
+    ~2e-7 left logit and spin.  Remaining hidden units and taps start
+    at exact zero for PGPE to grow."""
+    conv = np.zeros((hidden, NUM_FEATURES, 3, 3), np.float32)
+    g = np.float32(gain)
+    # feature order: 0=left, 1=fwd, 2=right (see NUM_FEATURES comment)
+    conv[0, 0, 1, 1] = g
+    conv[0, 1, 1, 1] = -g
+    conv[1, 2, 1, 1] = g
+    conv[1, 1, 1, 1] = -g
+    conv[2, 0, 1, 1] = g
+    conv[2, 2, 1, 1] = -g
+    head = np.zeros((3, hidden, 1, 1), np.float32)
+    a, c = np.float32(advance), np.float32(side)
+    head[0, 0, 0, 0] = a   # l_left += a*h0
+    head[0, 2, 0, 0] = c   # l_left += c*h2
+    head[2, 1, 0, 0] = a   # l_right += a*h1
+    head[2, 2, 0, 0] = -c  # l_right -= c*h2
+    bias = np.asarray([0.0, keep_eps, 0.0], np.float32)
+    return ConvTurnParams(conv=conv, head=head, bias=bias)
+
+
 def make_conv_turn_rule(params: ConvTurnParams):
     def rule(xp, left, fwd, right, state: FastEnvState, bits):
         field = xp.stack([left, fwd, right, state.occ, state.agent_food,
@@ -141,7 +186,7 @@ def train_conv_nca(dyn: FastDynamics, cfg, hidden: int = 8, log_fn=None,
                    mesh=None, mesh_axis="pop", keep_bias: float = 0.5,
                    center_learning_rate: float = 0.05,
                    radius_init: float = 0.5, max_speed: float = 0.1,
-                   common_random_envs: bool = False):
+                   common_random_envs: bool = False, params_init=None):
     """PGPE neuroevolution of the conv turn rule (cfg: LatticeTrainConfig).
 
     ``common_random_envs``: evaluate every population member of a
@@ -150,6 +195,11 @@ def train_conv_nca(dyn: FastDynamics, cfg, hidden: int = 8, log_fn=None,
     reduction for ES fitness comparisons — without it the ~3.7K-parameter
     conv rule optimizes evaluation noise (round-2 sweep: train_best ~330
     vs held-out ~265).  Off by default to keep earlier runs reproducible.
+
+    ``params_init``: optional ConvTurnParams to start the PGPE center at
+    (e.g. jones_mimic_conv_params — the warm start that escapes the
+    keep-only local optimum on the 16-dir lattice); default is the
+    xavier+keep-bias random init from cfg.seed.
     """
     import jax
     import jax.numpy as jnp
@@ -159,8 +209,11 @@ def train_conv_nca(dyn: FastDynamics, cfg, hidden: int = 8, log_fn=None,
     from die_tpu.fast.init import fast_init_jax
     from die_tpu.learn.es import PGPE
 
-    params0 = init_conv_turn_params(jr.PRNGKey(cfg.seed), hidden,
-                                    keep_bias=keep_bias)
+    if params_init is not None:
+        params0 = ConvTurnParams(*(jnp.asarray(p) for p in params_init))
+    else:
+        params0 = init_conv_turn_params(jr.PRNGKey(cfg.seed), hidden,
+                                        keep_bias=keep_bias)
     flat0, unravel = ravel_pytree(tuple(params0))
     searcher = PGPE(flat0.shape[0], popsize=cfg.popsize,
                     center_learning_rate=center_learning_rate,

@@ -177,3 +177,70 @@ def test_train_lattice_checkpoint_resume(tmp_path):
     # the global best survives resume even when the best epoch preceded the
     # checkpoint (advisor finding, round 1: best_fit was reset to -inf)
     assert np.array_equal(np.asarray(best_ref), np.asarray(best_res))
+
+
+def test_jones_mimic_matches_jones_on_strict_orderings():
+    """jones_mimic_conv_params (the warm start that unlocks 16-dir
+    conv-NCA training — ROADMAP round 3) must reproduce the classic
+    Jones argmax (reference semantics /root/reference/core/agent/
+    gradient.py:138-152) wherever the ordering is strict, and keep on
+    the all-tie state (where Jones' fwd >= comparisons keep too)."""
+    from die_tpu.fast.env import FastEnvState
+    from die_tpu.fast.nca import jones_mimic_conv_params, make_conv_turn_rule
+
+    rule = make_conv_turn_rule(jones_mimic_conv_params())
+    rng = np.random.default_rng(42)
+    W = H = 32
+    st = FastEnvState(*[rng.uniform(0, 1, (W, H)).astype(np.float32)
+                        for _ in range(len(FastEnvState._fields))])
+    left, fwd, right = [rng.uniform(0, 5, (W, H)).astype(np.float32)
+                        for _ in range(3)]
+    turn = np.asarray(rule(np, left, fwd, right, st, None))
+    keep = (fwd >= left) & (fwd >= right)
+    jones = np.where(keep, 0.0, np.where(left > right, 1.0,
+                     np.where(right > left, -1.0, np.nan))).astype(np.float32)
+    strict = ~np.isnan(jones)
+    # saturated regime: a handful of near-tie cells may fall inside the
+    # keep_eps band — require >= 99% agreement and exact tie-keeping
+    agree = (turn[strict] == jones[strict]).mean()
+    assert agree >= 0.99, agree
+    zero = np.zeros((W, H), np.float32)
+    assert np.all(np.asarray(rule(np, zero, zero, zero, st, None)) == 0.0)
+
+
+def test_committed_conv16_artifact_beats_tuned_jones():
+    """The committed 16-dir conv-NCA checkpoint (docs/artifacts, trained
+    by tools/sweep_conv_nca16_warm.py warm_r05: held-out 692.9 vs tuned
+    Jones 653.6 on the full 32-seed block) outforages the tuned Jones
+    rule on the finest-turning lattice.  Cold CRN-ES collapsed to the
+    keep-only runner (tools/sweep_conv_nca16.py, 172.5); the unlock was
+    warm-starting PGPE at jones_mimic_conv_params."""
+    import os
+
+    import jax.numpy as jnp
+
+    from die_tpu.fast.config import tuned_dynamics
+    from die_tpu.fast.nca import ConvTurnParams, conv_nca_rollout
+    from die_tpu.fast.rollout import fast_rollout
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir, "docs",
+                        "artifacts", "lattice16_conv_beats_jones.npz")
+    data = np.load(path)
+    params = ConvTurnParams(conv=jnp.asarray(data["conv"]),
+                            head=jnp.asarray(data["head"]),
+                            bias=jnp.asarray(data["bias"]))
+    dyn = tuned_dynamics(16, init_agent_ratio=0.15, food_infinite=True)
+    size, steps, seed0 = (64, 64), 50, 10_000  # sweep's held-out protocol
+
+    def heldout(roll_fn, n_seeds=6):
+        def one(i):
+            st = fast_init_jax(jr.fold_in(jr.PRNGKey(seed0), i), size, dyn)
+            _, rewards, _ = roll_fn(st, jr.fold_in(jr.PRNGKey(seed0 + 1), i))
+            return jnp.sum(rewards)
+
+        return float(np.mean(np.asarray(
+            jax.jit(jax.vmap(one))(jnp.arange(n_seeds)))))
+
+    jones = heldout(lambda s, k: fast_rollout(dyn, s, k, steps))
+    conv = heldout(lambda s, k: conv_nca_rollout(dyn, params, s, k, steps))
+    assert conv > jones
