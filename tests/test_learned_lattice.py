@@ -244,3 +244,58 @@ def test_committed_conv16_artifact_beats_tuned_jones():
     jones = heldout(lambda s, k: fast_rollout(dyn, s, k, steps))
     conv = heldout(lambda s, k: conv_nca_rollout(dyn, params, s, k, steps))
     assert conv > jones
+
+
+def _artifact_heldout_pair(artifact, dyn, n_seeds=6):
+    """Held-out (jones, conv) mean episode rewards for a committed
+    conv-NCA checkpoint on the sweep protocol (64x64, 50 steps, seed
+    block 10_000)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from die_tpu.fast.nca import ConvTurnParams, conv_nca_rollout
+    from die_tpu.fast.rollout import fast_rollout
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir, "docs",
+                        "artifacts", artifact)
+    data = np.load(path)
+    params = ConvTurnParams(conv=jnp.asarray(data["conv"]),
+                            head=jnp.asarray(data["head"]),
+                            bias=jnp.asarray(data["bias"]))
+    size, steps, seed0 = (64, 64), 50, 10_000
+
+    def heldout(roll_fn):
+        def one(i):
+            st = fast_init_jax(jr.fold_in(jr.PRNGKey(seed0), i), size, dyn)
+            _, rewards, _ = roll_fn(st, jr.fold_in(jr.PRNGKey(seed0 + 1), i))
+            return jnp.sum(rewards)
+
+        return float(np.mean(np.asarray(
+            jax.jit(jax.vmap(one))(jnp.arange(n_seeds)))))
+
+    jones = heldout(lambda s, k: fast_rollout(dyn, s, k, steps))
+    conv = heldout(lambda s, k: conv_nca_rollout(dyn, params, s, k, steps))
+    return jones, conv
+
+
+def test_committed_conv4_artifact_beats_jones():
+    """4-dir: warm-started CRN-PGPE from the Jones mimic edges out Jones
+    (full-block 565.7 vs 560.7 — tools/sweep_conv_nca_warm48.py).  With
+    this, LEARNED rules beat the handcrafted rule on all three lattices."""
+    from die_tpu.fast.config import tuned_dynamics
+
+    dyn = tuned_dynamics(4, init_agent_ratio=0.15, food_infinite=True)
+    jones, conv = _artifact_heldout_pair("lattice4_conv_beats_jones.npz",
+                                         dyn)
+    assert conv > jones
+
+
+def test_committed_conv8_resumed_artifact_improves():
+    """8-dir: resuming CRN-PGPE from the round-2 artifact improves it
+    (full-block 351.3 vs the original's 340.5 and Jones' 283.1 —
+    tools/sweep_conv_nca_warm48.py resume_r05); the round-2 run had not
+    converged."""
+    dyn = FastDynamics(init_agent_ratio=0.15, food_infinite=True)
+    jones, conv = _artifact_heldout_pair("lattice8_conv_resumed.npz", dyn)
+    assert conv > jones
