@@ -32,7 +32,6 @@ if _os.environ.get("DIE_TPU_CPU"):  # force CPU (env var alone is too late)
 import jax.numpy as jnp
 import jax.random as jr
 
-from die_tpu.fast.config import FastDynamics
 from die_tpu.fast.init import fast_init_jax
 from die_tpu.fast.learned import init_turn_params, learned_fast_rollout
 from die_tpu.fast.nca import ConvTurnParams, conv_nca_rollout
@@ -71,9 +70,15 @@ def main():
     ap.add_argument("--seeds", type=int, default=32)
     ap.add_argument("--seed0", type=int, default=10_000,
                     help="base of the held-out seed block")
+    ap.add_argument("--dirs", type=int, default=8, choices=(4, 8, 16),
+                    help="lattice directions; evaluated on that lattice's "
+                         "tuned operating point (tuned_dynamics)")
     args = ap.parse_args()
 
-    dyn = FastDynamics(init_agent_ratio=0.15, food_infinite=True)
+    from die_tpu.fast.config import tuned_dynamics
+
+    dyn = tuned_dynamics(args.dirs, init_agent_ratio=0.15,
+                         food_infinite=True)
     T = args.steps
 
     out = {}

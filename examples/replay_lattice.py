@@ -18,7 +18,6 @@ if _os.environ.get("DIE_TPU_CPU"):  # force CPU (env var alone is too late)
 import jax.numpy as jnp
 import jax.random as jr
 
-from die_tpu.fast.config import FastDynamics
 from die_tpu.fast.init import fast_init_jax
 from die_tpu.fast.learned import learned_fast_rollout
 from die_tpu.fast.nca import ConvTurnParams, conv_nca_rollout
@@ -45,11 +44,17 @@ def main():
     ap.add_argument("--steps-per-frame", type=int, default=2)
     ap.add_argument("--out", default="replay.gif")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--dirs", type=int, default=8, choices=(4, 8, 16),
+                    help="lattice directions; non-8 replays on that "
+                         "lattice's tuned operating point (tuned_dynamics)")
     args = ap.parse_args()
 
     matplotlib.use("Agg")
     kind, params = load_params(args.checkpoint)
-    dyn = FastDynamics(init_agent_ratio=0.15, food_infinite=True)
+    from die_tpu.fast.config import tuned_dynamics
+
+    dyn = tuned_dynamics(args.dirs, init_agent_ratio=0.15,
+                         food_infinite=True)
     size = (args.size, args.size)
     holder = {"state": fast_init_jax(jr.PRNGKey(args.seed), size, dyn)}
     roll_key = jr.PRNGKey(args.seed + 1)
