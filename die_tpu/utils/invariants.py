@@ -44,8 +44,13 @@ def check_env_state(state, dynamics=None) -> List[str]:
     return v
 
 
-def check_fast_state(state, dynamics=None) -> List[str]:
-    """Fast-engine FastEnvState invariants."""
+def check_fast_state(state, dynamics=None, num_dirs: int = None) -> List[str]:
+    """Fast-engine FastEnvState invariants.
+
+    The heading bound follows the lattice: ``num_dirs`` explicitly, else
+    ``dynamics.num_dirs``, else the 8-direction default."""
+    if num_dirs is None:
+        num_dirs = getattr(dynamics, "num_dirs", 8)
     v: List[str] = []
     occ = np.asarray(state.occ)
     dirf = np.asarray(state.dir)
@@ -55,8 +60,9 @@ def check_fast_state(state, dynamics=None) -> List[str]:
     if set(np.unique(occ)) - {0.0, 1.0}:
         v.append("occupancy not binary")
     d = dirf[occ > 0]
-    if d.size and (d.min() < 0 or d.max() > 7 or not np.all(d == np.floor(d))):
-        v.append("headings outside the 8-direction lattice")
+    if d.size and (d.min() < 0 or d.max() > num_dirs - 1
+                   or not np.all(d == np.floor(d))):
+        v.append(f"headings outside the {num_dirs}-direction lattice")
     if np.asarray(state.chem).min() < 0:
         v.append("negative chem concentration")
     return v

@@ -115,6 +115,27 @@ def test_invariants_fast_engine():
     assert mass_conservation_delta(st, st2) == 0.0
 
 
+def test_invariants_fast_engine_16dir():
+    """Valid 16-direction states pass; the heading bound follows the lattice
+    (regression for the 8-dir hardcode, VERDICT r3 weak #4)."""
+    from die_tpu.fast.config import FastDynamics
+    from die_tpu.fast.init import fast_init_np
+    from die_tpu.fast.rollout import oracle_fast_rollout
+    from die_tpu.utils.invariants import check_fast_state
+
+    dyn = FastDynamics(num_dirs=16)
+    st = fast_init_np(np_key(11), (16, 16), dyn)
+    st2, _, _ = oracle_fast_rollout(dyn, st, np_key(12), 5)
+    occ = np.asarray(st2.occ)
+    d = np.asarray(st2.dir)[occ > 0]
+    assert d.size and d.max() > 7, "rollout never produced a heading > 7"
+    assert check_fast_state(st2, dynamics=dyn) == []
+    assert check_fast_state(st2, num_dirs=16) == []
+    # the 8-dir bound still rejects those headings
+    assert any("16" not in v and "8-direction" in v
+               for v in check_fast_state(st2))
+
+
 def test_mask_duplicates():
     from die_tpu.utils.dedup import index_select, mask_duplicates
 
