@@ -18,6 +18,8 @@ Layer map (mirrors SURVEY.md §1, rebuilt TPU-first):
 from die_tpu.core.config import Boundary, DiffuseMode, Dynamics, FlowConfig
 from die_tpu.core.env import env_step, observe
 from die_tpu.core.init import init_env_state
+from die_tpu.core.operators import (register_cost_operator,
+                                    register_flow_operator)
 from die_tpu.core.state import EnvState, StepInfo
 
 __version__ = "0.1.0"
@@ -25,5 +27,6 @@ __version__ = "0.1.0"
 __all__ = [
     "Boundary", "DiffuseMode", "Dynamics", "FlowConfig",
     "env_step", "observe", "init_env_state", "EnvState", "StepInfo",
+    "register_cost_operator", "register_flow_operator",
     "__version__",
 ]

@@ -42,7 +42,10 @@ class FlowConfig:
     quintic interpolation between keyed 2D lattice fields.
     """
 
-    kind: str = "none"  # 'none' | 'wave' | 'perlin'
+    # 'none' | 'wave' | 'perlin' | any registered custom kind
+    # (die_tpu.core.operators.register_flow_operator) — the reference's
+    # arbitrary ``op_food_flow`` callable, by registry name.
+    kind: str = "none"
     scale: float = 0.5
     decay: float = 0.5
     dt: float = 0.01
@@ -76,6 +79,11 @@ class Dynamics:
     cost_weight_deposit: float = 0.02
     cost_weight_dist: float = 0.01
     zero_cost: bool = False
+    # Name of a registered custom cost operator (die_tpu.core.operators).
+    # None = the built-in linear/zero cost above.  The reference's arbitrary
+    # ``op_action_cost`` callable (core/env.py:44), by registry name so the
+    # config stays hashable/jit-static.
+    cost_op: Optional[str] = None
     apply_sense_mask: bool = False
     sense_mask_sigma: float = 2.0
     food_infinite: bool = False

@@ -207,6 +207,23 @@ def _deposit_and_layout(dynamics: Dynamics, medium, agents, action):
     return medium
 
 
+def _action_cost(dynamics: Dynamics, action):
+    """Per-slot burned energy — the reference's ``op_action_cost``
+    (core/env.py:29-38): built-in linear/zero cost, or a registered custom
+    operator when ``dynamics.cost_op`` names one (die_tpu.core.operators)."""
+    if dynamics.cost_op is not None:
+        from die_tpu.core.operators import get_cost_operator
+
+        return get_cost_operator(dynamics.cost_op)(jnp, dynamics, action)
+    if dynamics.zero_cost:
+        return jnp.zeros_like(action[ch.CH_ACT_DEPOSIT])
+    dist = hypot2(action[ch.CH_ACT_DX], action[ch.CH_ACT_DY])
+    return (
+        np.float32(dynamics.cost_weight_deposit) * jnp.abs(action[ch.CH_ACT_DEPOSIT])
+        + np.float32(dynamics.cost_weight_dist) * dist
+    )
+
+
 def _feed(dynamics: Dynamics, medium, agents, action):
     """Substep 3 — core/env.py:220-243.  Returns (medium, agents, gained)."""
     W, H = medium.shape[-2], medium.shape[-1]
@@ -220,14 +237,7 @@ def _feed(dynamics: Dynamics, medium, agents, action):
     if not dynamics.food_infinite:
         medium = medium.at[ch.CH_MED_FOOD].set(env_food - consumed_field)
 
-    if dynamics.zero_cost:
-        burned = jnp.zeros_like(consumed)
-    else:
-        dist = hypot2(action[ch.CH_ACT_DX], action[ch.CH_ACT_DY])
-        burned = (
-            np.float32(dynamics.cost_weight_deposit) * jnp.abs(action[ch.CH_ACT_DEPOSIT])
-            + np.float32(dynamics.cost_weight_dist) * dist
-        )
+    burned = _action_cost(dynamics, action)
     gained = consumed - burned
     agents = agents.at[ch.CH_AGT_FOOD].set(agents[ch.CH_AGT_FOOD] + gained)
     return medium, agents, gained
@@ -247,19 +257,27 @@ def _resource_dynamics(dynamics: Dynamics, medium, flow_step):
     if dynamics.flow.kind == "none":
         return medium, flow_step
     W, H = medium.shape[-2], medium.shape[-1]
+    food = medium[ch.CH_MED_FOOD]
     if dynamics.flow.kind == "wave":
         t = flow_time(dynamics.flow, flow_step)
         f = wave_field((W, H), t)
+        food = np.float32(dynamics.flow.scale) * f + (
+            _F1 - np.float32(dynamics.flow.decay)
+        ) * food
     elif dynamics.flow.kind == "perlin":
         from die_tpu.ops.waves import perlin_flow_field
 
         f = perlin_flow_field(dynamics.flow, (W, H), flow_step)
+        food = np.float32(dynamics.flow.scale) * f + (
+            _F1 - np.float32(dynamics.flow.decay)
+        ) * food
     else:
-        raise ValueError(f"unknown flow kind {dynamics.flow.kind!r}")
-    food = medium[ch.CH_MED_FOOD]
-    food = np.float32(dynamics.flow.scale) * f + (
-        _F1 - np.float32(dynamics.flow.decay)
-    ) * food
+        # registered custom flow operator (die_tpu.core.operators) — the
+        # reference's arbitrary op_food_flow, applied to the whole field
+        from die_tpu.core.operators import get_flow_operator
+
+        food = get_flow_operator(dynamics.flow.kind)(
+            jnp, dynamics.flow, food, flow_step)
     return medium.at[ch.CH_MED_FOOD].set(food), flow_step + 1
 
 
@@ -315,14 +333,7 @@ def _feed_with_carry(dynamics: Dynamics, medium, agents, action):
     else:
         sense_carry = f_g
 
-    if dynamics.zero_cost:
-        burned = jnp.zeros_like(consumed)
-    else:
-        dist = hypot2(action[ch.CH_ACT_DX], action[ch.CH_ACT_DY])
-        burned = (
-            np.float32(dynamics.cost_weight_deposit) * jnp.abs(action[ch.CH_ACT_DEPOSIT])
-            + np.float32(dynamics.cost_weight_dist) * dist
-        )
+    burned = _action_cost(dynamics, action)
     gained = consumed - burned
     agents = agents.at[ch.CH_AGT_FOOD].set(agents[ch.CH_AGT_FOOD] + gained)
     return medium, agents, gained, sense_carry
@@ -342,11 +353,17 @@ def env_step_carry(dynamics: Dynamics, state: EnvState, action):
     both — saves ~3 of the step's 17 MXU dot passes, docs/PERF.md round
     3).  Caller must check :func:`fused_sense_ok`."""
     assert fused_sense_ok(dynamics)
-    agents = _move(dynamics, state.agents, action)
-    medium = _deposit_and_layout(dynamics, state.medium, agents, action)
-    medium, agents, gained, carry = _feed_with_carry(dynamics, medium,
-                                                     agents, action)
-    medium = _diffuse_decay(dynamics, medium)
+    from die_tpu.utils.profiling import named_scope
+
+    with named_scope("die/move"):
+        agents = _move(dynamics, state.agents, action)
+    with named_scope("die/deposit_layout"):
+        medium = _deposit_and_layout(dynamics, state.medium, agents, action)
+    with named_scope("die/feed"):
+        medium, agents, gained, carry = _feed_with_carry(dynamics, medium,
+                                                         agents, action)
+    with named_scope("die/diffuse_decay"):
+        medium = _diffuse_decay(dynamics, medium)
 
     num_agents = jnp.sum((agents[ch.CH_AGT_ALIVE] > _F0).astype(jnp.int32))
     reward = tree_sum(gained)
@@ -359,13 +376,26 @@ def env_step_carry(dynamics: Dynamics, state: EnvState, action):
 
 
 def env_step(dynamics: Dynamics, state: EnvState, action):
-    """One full environment step.  Pure; jit with ``dynamics`` static."""
-    agents = _move(dynamics, state.agents, action)
-    medium = _deposit_and_layout(dynamics, state.medium, agents, action)
-    medium, agents, gained = _feed(dynamics, medium, agents, action)
-    agents = _lifecycle(dynamics, agents)
-    medium, flow_step = _resource_dynamics(dynamics, medium, state.flow_step)
-    medium = _diffuse_decay(dynamics, medium)
+    """One full environment step.  Pure; jit with ``dynamics`` static.
+
+    Each substep runs under a ``jax.named_scope`` (``die/...``) so device
+    traces and XLA op profiles attribute time per substep — metadata only,
+    zero runtime cost (utils/profiling.py)."""
+    from die_tpu.utils.profiling import named_scope
+
+    with named_scope("die/move"):
+        agents = _move(dynamics, state.agents, action)
+    with named_scope("die/deposit_layout"):
+        medium = _deposit_and_layout(dynamics, state.medium, agents, action)
+    with named_scope("die/feed"):
+        medium, agents, gained = _feed(dynamics, medium, agents, action)
+    with named_scope("die/lifecycle"):
+        agents = _lifecycle(dynamics, agents)
+    with named_scope("die/food_flow"):
+        medium, flow_step = _resource_dynamics(dynamics, medium,
+                                               state.flow_step)
+    with named_scope("die/diffuse_decay"):
+        medium = _diffuse_decay(dynamics, medium)
 
     num_agents = jnp.sum((agents[ch.CH_AGT_ALIVE] > _F0).astype(jnp.int32))
     reward = tree_sum(gained)

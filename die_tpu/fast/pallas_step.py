@@ -123,6 +123,10 @@ def make_pallas_step(dyn: FastDynamics, field_size, interpret: bool = False):
     if dyn.flow.kind == "perlin":
         raise NotImplementedError("perlin flow draws jax.random keys and "
                                   "runs on the XLA path, not in the kernel")
+    if dyn.flow.kind not in ("none", "wave"):
+        raise NotImplementedError(
+            f"custom flow kind {dyn.flow.kind!r} cannot lower into the "
+            "Mosaic kernel — use the XLA engine path")
     W, H = field_size
     if (W & (W - 1)) or (H & (H - 1)) or W < 8 or H < 128:
         raise ValueError("pallas step needs pow2 field sizes >= (8, 128)")
@@ -242,6 +246,10 @@ def make_pallas_multi_step(dyn: FastDynamics, field_size, num_inner: int,
     W, H = field_size
     if (W & (W - 1)) or (H & (H - 1)) or W < 8 or H < 128:
         raise ValueError("pallas step needs pow2 field sizes >= (8, 128)")
+    if dyn.flow.kind not in ("none", "wave", "perlin"):
+        raise NotImplementedError(
+            f"custom flow kind {dyn.flow.kind!r} cannot lower into the "
+            "Mosaic kernel — use the XLA engine path")
 
     perlin = dyn.flow.kind == "perlin"
     field = jax.ShapeDtypeStruct((W, H), jnp.float32)
@@ -459,6 +467,10 @@ def make_pallas_banded_step(dyn: FastDynamics, field_size, num_bands: int,
         raise ValueError("W must divide into num_bands")
     Wb = W // num_bands
     K = num_inner
+    if dyn.flow.kind not in ("none", "wave", "perlin"):
+        raise NotImplementedError(
+            f"custom flow kind {dyn.flow.kind!r} cannot lower into the "
+            "Mosaic kernel — use the XLA engine path")
     has_flow = dyn.flow.kind != "none"
     # DMA slices must be aligned to the 8-row sublane tiling: round the
     # K-step halo up to a multiple of 8 (extra rows are a wider margin)

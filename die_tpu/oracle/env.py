@@ -119,7 +119,14 @@ def oracle_env_step(dynamics: Dynamics, state: OracleState, action: np.ndarray):
     consumed = consumed_field[ix, iy]  # ALL slots, including dead at (0,0)
     if not dynamics.food_infinite:
         medium[ch.CH_MED_FOOD] = medium[ch.CH_MED_FOOD] - consumed_field
-    if dynamics.zero_cost:
+    if dynamics.cost_op is not None:
+        # registered custom cost operator — the oracle runs the independent
+        # oracle_fn restatement when one was registered
+        from die_tpu.core.operators import get_cost_operator
+
+        burned = get_cost_operator(dynamics.cost_op, oracle=True)(
+            np, dynamics, action)
+    elif dynamics.zero_cost:
         burned = np.zeros_like(consumed)
     else:
         dist = hypot2(action[ch.CH_ACT_DX], action[ch.CH_ACT_DY])
@@ -148,7 +155,12 @@ def oracle_env_step(dynamics: Dynamics, state: OracleState, action: np.ndarray):
                                   * medium[ch.CH_MED_FOOD])
         st.flow_step = np.int32(st.flow_step + 1)
     elif dynamics.flow.kind != "none":
-        raise ValueError(dynamics.flow.kind)
+        from die_tpu.core.operators import get_flow_operator
+
+        medium[ch.CH_MED_FOOD] = get_flow_operator(
+            dynamics.flow.kind, oracle=True)(
+            np, dynamics.flow, medium[ch.CH_MED_FOOD], st.flow_step)
+        st.flow_step = np.int32(st.flow_step + 1)
 
     # 6. diffuse & decay
     medium[ch.CH_MED_CHEM] = separable_gaussian(

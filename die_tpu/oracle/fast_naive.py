@@ -424,7 +424,14 @@ def naive_fast_step(dyn: FastDynamics, state: FastEnvState,
                     + np.float32(keep * new_env[i, j]))
         flow_step += 1
     elif dyn.flow.kind != "none":
-        raise ValueError(dyn.flow.kind)
+        # custom registered flow: the oracle hook calls the registered
+        # oracle_fn restatement on the whole field (field-level contract —
+        # there is no built-in per-cell form to restate)
+        from die_tpu.core.operators import get_flow_operator
+
+        new_env = np.asarray(get_flow_operator(dyn.flow.kind, oracle=True)(
+            np, dyn.flow, new_env, np.int32(flow_step))).astype(np.float32)
+        flow_step += 1
 
     # ---- 7. chem diffuse + decay: explicit separable wrap-tap loops
     # (axis 0 then axis 1, taps accumulated left to right), then decay

@@ -3,10 +3,22 @@
 
 * ``trace(...)`` — context manager around ``jax.profiler.trace`` writing a
   TensorBoard-loadable trace directory.
-* ``annotate(name)`` — named scope that shows up in device traces
-  (``jax.profiler.TraceAnnotation``); wrap substeps or rollout chunks.
+* ``annotate(name)`` — HOST-side named region (``jax.profiler
+  .TraceAnnotation``): wrap the host call that launches a rollout chunk.
+  Inside ``jit`` it would fire at trace time only — use ``named_scope``
+  there instead.
+* ``named_scope(name)`` — DEVICE-side naming for code under ``jit``
+  (``jax.named_scope``): attaches the scope name to the HLO ops it
+  encloses, so substeps are attributable in TensorBoard traces and XLA op
+  profiles.  Pure metadata — zero runtime cost, no effect on compiled code
+  (the engine's bit-exactness tests run with the scopes in place).
 * ``StepTimer`` — host-side steps/s counter with exponential smoothing, for
   progress displays and JSONL metrics.
+
+The six exact-engine substeps (core/env.py) are wrapped in ``named_scope``
+scopes named ``die/<substep>``; rollout chunks launched by
+``examples/benchmark_scaling.py --trace <dir>`` are wrapped in ``annotate``
+— see docs/PERF.md for a captured trace artifact.
 """
 from __future__ import annotations
 
@@ -26,6 +38,12 @@ def annotate(name: str):
     import jax
 
     return jax.profiler.TraceAnnotation(name)
+
+
+def named_scope(name: str):
+    import jax
+
+    return jax.named_scope(name)
 
 
 class StepTimer:

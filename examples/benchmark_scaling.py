@@ -28,7 +28,8 @@ from die_tpu.fast.rollout import fast_rollout
 from die_tpu.parallel.mesh import env_mesh, shard_env_batch
 
 
-def measure(dyn, field, B, T, mesh=None, reps=3):
+def measure(dyn, field, B, T, mesh=None, reps=3, annotate_name=None):
+    from die_tpu.utils.profiling import annotate
     keys = jax.vmap(lambda i: jr.fold_in(jr.PRNGKey(0), i))(jnp.arange(B))
     states = jax.jit(jax.vmap(
         lambda k: fast_init_jax(k, (field, field), dyn)))(keys)
@@ -45,9 +46,13 @@ def measure(dyn, field, B, T, mesh=None, reps=3):
 
     float(np.asarray(run(states, rkeys)))
     best = float("inf")
-    for _ in range(reps):
+    for i in range(reps):
         t0 = time.perf_counter()
-        float(np.asarray(run(states, rkeys)))
+        if annotate_name:  # host-side trace region per rollout chunk
+            with annotate(f"{annotate_name}/chunk{i}"):
+                float(np.asarray(run(states, rkeys)))
+        else:
+            float(np.asarray(run(states, rkeys)))
         best = min(best, time.perf_counter() - t0)
     return B * T / best
 
@@ -69,6 +74,12 @@ def main():
                     help="force the CPU backend (the JAX_PLATFORMS env var "
                          "alone is captured too early — jax is partially "
                          "pre-imported at interpreter startup)")
+    ap.add_argument("--trace", metavar="LOGDIR", default=None,
+                    help="capture a TensorBoard trace of the batch-scaling "
+                         "measurement into LOGDIR (utils/profiling.trace; "
+                         "rollout chunks appear as host annotations, the "
+                         "six exact-engine substeps as die/* named scopes "
+                         "when profiling the exact engine)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -76,6 +87,15 @@ def main():
     dyn = FastDynamics()
     n_dev = len(jax.devices())
     print(f"devices: {n_dev} x {jax.devices()[0].device_kind}")
+
+    if args.trace:
+        from die_tpu.utils.profiling import trace
+
+        measure(dyn, args.field, args.envs, args.steps)  # compile outside
+        with trace(args.trace):
+            measure(dyn, args.field, args.envs, args.steps, reps=1,
+                    annotate_name="rollout")
+        print(f"trace written to {args.trace}")
 
     r1 = measure(dyn, args.field, args.envs, args.steps)
     r2 = measure(dyn, args.field, args.envs * 2, args.steps)

@@ -160,6 +160,27 @@ def test_profiler_trace_writes(tmp_path):
     assert any(logdir.rglob("*")), "no trace files written"
 
 
+def test_substep_named_scopes_in_hlo():
+    """The six substeps carry die/* named scopes (jax.named_scope), so
+    device traces / op profiles attribute time per substep — and the names
+    must survive into the lowered module's location metadata."""
+    import jax
+    import jax.random as jr
+
+    from die_tpu.core.config import Dynamics, FlowConfig
+    from die_tpu.core.env import env_step
+    from die_tpu.core.init import init_env_state
+
+    dyn = Dynamics(agents_die=True, flow=FlowConfig(kind="wave"))
+    state = init_env_state(jr.PRNGKey(0), (16, 16), dyn)
+    action = np.zeros((3, state.agents.shape[-1]), np.float32)
+    text = jax.jit(lambda s, a: env_step(dyn, s, a)).lower(
+        state, action).as_text(debug_info=True)
+    for name in ("die/move", "die/deposit_layout", "die/feed",
+                 "die/food_flow", "die/diffuse_decay"):
+        assert name in text, name
+
+
 def test_package_exports():
     import die_tpu
     import die_tpu.fast as fast
