@@ -117,6 +117,11 @@ def set_pallas_trace(on: bool) -> bool:
     return prev
 
 
+def pallas_trace_active() -> bool:
+    """Whether tracing is currently inside a Pallas TPU kernel."""
+    return _PALLAS_TRACE
+
+
 def xroll(xp, a, shift: int, axis: int):
     """``xp.roll`` with the Mosaic-native rotate inside Pallas kernels.
 
