@@ -94,8 +94,20 @@ def onehot_gather_multi(flats, idx, row_width: int = None,
     construction per chunk: returns a tuple of f32[N], each bit-identical
     to ``jnp.take`` (byte-plane formulation — see onehot_gather_flat).
     The MXU MAC count still scales with K, but the one-hot build, index
-    math, and XLA-level plumbing amortize."""
+    math, and XLA-level plumbing amortize.
+
+    With ``ops.pallas_gather.use_pallas_gather(True)`` and a 256-divisible
+    field, the call routes through the fused Pallas kernel instead (picked
+    intermediate stays in VMEM; measured +9%% MAC rate at shape —
+    docs/PERF.md round 3); results are bit-identical either way."""
     m = flats[0].shape[0]
+    from die_tpu.ops.pallas_gather import (pallas_gather_enabled,
+                                           pallas_onehot_gather)
+
+    if pallas_gather_enabled() and m % 256 == 0:
+        interpret = jax.default_backend() != "tpu"
+        return pallas_onehot_gather(flats, idx, row_width=256, chunk=1024,
+                                    interpret=interpret)
     if row_width is None:
         row_width = 256 if m % 256 == 0 else 128
     assert m % row_width == 0

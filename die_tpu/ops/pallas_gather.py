@@ -34,6 +34,21 @@ from die_tpu.ops.mxu_gather import _byte_planes
 
 _SUB = 8  # sub-rows per block (the TPU sublane block-shape quantum)
 
+_USE_PALLAS = None  # None/False = off (opt-in), True = on
+
+
+def use_pallas_gather(enabled) -> None:
+    """Route ``ops.mxu_gather.onehot_gather_multi`` (and so the exact
+    engine's hot gathers) through this kernel.  Opt-in: the +9% MAC-rate
+    win (docs/PERF.md round 3) is enabled for benchmarking/measured
+    configs; ``None``/``False`` keep the XLA-level formulation."""
+    global _USE_PALLAS
+    _USE_PALLAS = enabled if enabled is None else bool(enabled)
+
+
+def pallas_gather_enabled() -> bool:
+    return bool(_USE_PALLAS)
+
 
 def _gather_kernel(nplanes: int, rows: int, width: int, idx_ref,
                    planes_ref, out_ref):

@@ -46,3 +46,45 @@ def test_row_width_variants():
     idx = jr.randint(jr.PRNGKey(4), (1000,), 0, m, jnp.int32)
     _check((f,), idx, row_width=128)
     _check((f,), idx, row_width=512)
+
+
+def test_enable_flag_routes_engine_gathers_bitwise():
+    """use_pallas_gather(True) reroutes onehot_gather_multi (the exact
+    engine's hot gathers) through the fused kernel — a vmapped
+    engine-vs-engine trajectory must stay bitwise identical (round-4
+    integration, VERDICT r3 item 5)."""
+    from die_tpu.core.config import Dynamics
+    from die_tpu.core.init import init_env_state
+    from die_tpu.models.gradient import PhysarumPolicy
+    from die_tpu.ops.mxu_gather import use_mxu_gather
+    from die_tpu.ops.pallas_gather import use_pallas_gather
+    from die_tpu.parallel.rollout import rollout
+
+    dyn = Dynamics(init_agent_ratio=0.2)
+    size = (16, 16)  # 256 cells — row_width-256 divisible
+    policy = PhysarumPolicy(max_agents=256, scale=0.01, sense_offset=0.04)
+    B = 2
+    keys = jax.vmap(lambda i: jr.fold_in(jr.PRNGKey(5), i))(jnp.arange(B))
+    states = jax.jit(jax.vmap(
+        lambda k: init_env_state(k, size, dyn, 256)))(keys)
+    pstates = jax.vmap(policy.init_state)(
+        jax.vmap(lambda i: jr.fold_in(jr.PRNGKey(6), i))(jnp.arange(B)))
+    rkeys = jax.vmap(lambda i: jr.fold_in(jr.PRNGKey(7), i))(jnp.arange(B))
+
+    def run():
+        res = jax.jit(jax.vmap(
+            lambda s, p, k: rollout(dyn, policy, None, s, p, k, 4)))(
+            states, pstates, rkeys)
+        return (np.asarray(res.rewards),
+                np.asarray(res.state.medium), np.asarray(res.state.agents))
+
+    use_mxu_gather(True)  # force the onehot route even on CPU
+    try:
+        ref = run()
+        use_pallas_gather(True)
+        got = run()
+    finally:
+        use_pallas_gather(None)
+        use_mxu_gather(None)
+    for a, b in zip(ref, got):
+        assert np.array_equal(a.view(np.uint32), b.view(np.uint32))
