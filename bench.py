@@ -57,8 +57,17 @@ def bench_fast():
     T = int(os.environ.get("BENCH_STEPS", 256))
     REPS = int(os.environ.get("BENCH_REPS", 3))
     use_pallas = os.environ.get("BENCH_PALLAS", "1") != "0"
+    n_dirs = int(os.environ.get("BENCH_DIRS", 8))
 
-    dyn = FastDynamics()
+    # BENCH_DIRS=16 measures the tuned 16-direction operating point (the
+    # most reference-faithful lattice, BASELINE.md) — side metric, not the
+    # headline
+    if n_dirs == 8:
+        dyn = FastDynamics()
+    else:
+        from die_tpu.fast.config import tuned_dynamics
+
+        dyn = tuned_dynamics(n_dirs)
 
     def make(b):
         keys = jax.vmap(lambda i: jr.fold_in(jr.PRNGKey(0), i))(jnp.arange(b))
@@ -100,9 +109,10 @@ def bench_fast():
             raise
 
     v = b * T / max(best - off, 1e-9)
+    tag = "" if n_dirs == 8 else f", {n_dirs}-dir tuned"
     print(json.dumps({
         "metric": f"env-steps/s/chip, {F}x{F} lattice Physarum, {b} lockstep"
-                  f" envs (fast engine)",
+                  f" envs (fast engine{tag})",
         "value": round(v, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(v / 1_000_000, 4),

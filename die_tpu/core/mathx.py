@@ -122,6 +122,25 @@ def pallas_trace_active() -> bool:
     return _PALLAS_TRACE
 
 
+_PALLAS_DYNLOOP = False
+
+
+def set_pallas_dynloop(on: bool) -> bool:
+    """Mark that the current Pallas kernel wants the 16-direction phases as
+    fori_loops (the whole-field kernels, where unrolled roll buffers
+    overflow VMEM at 256² — fast/env.py).  The banded kernel keeps the
+    unrolled static rolls (its blocks fit, and static rolls are faster).
+    Returns the previous value."""
+    global _PALLAS_DYNLOOP
+    prev = _PALLAS_DYNLOOP
+    _PALLAS_DYNLOOP = bool(on)
+    return prev
+
+
+def pallas_dynloop_active() -> bool:
+    return _PALLAS_DYNLOOP
+
+
 def xroll(xp, a, shift: int, axis: int):
     """``xp.roll`` with the Mosaic-native rotate inside Pallas kernels.
 

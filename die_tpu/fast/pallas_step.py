@@ -26,7 +26,7 @@ import jax.random as jr
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from die_tpu.core.mathx import set_pallas_trace
+from die_tpu.core.mathx import set_pallas_dynloop, set_pallas_trace
 from die_tpu.fast.config import FastDynamics
 from die_tpu.fast.env import FastEnvState, FastStepBits, fast_step
 
@@ -85,12 +85,14 @@ def _step_kernel(dyn: FastDynamics, keys_ref, flow_ref, occ_ref, dir_ref,
                  afood_ref, efood_ref, chem_ref, occ_o, dir_o, afood_o,
                  efood_o, chem_o, reward_o, num_o, flow_o):
     prev = set_pallas_trace(True)  # Mosaic-native rotates for xroll
+    prev_dyn = set_pallas_dynloop(True)  # whole-field: looped 16-dir phases
     try:
         _step_kernel_body(dyn, keys_ref, flow_ref, occ_ref, dir_ref,
                           afood_ref, efood_ref, chem_ref, occ_o, dir_o,
                           afood_o, efood_o, chem_o, reward_o, num_o, flow_o)
     finally:
         set_pallas_trace(prev)
+        set_pallas_dynloop(prev_dyn)
 
 
 def _step_kernel_body(dyn: FastDynamics, keys_ref, flow_ref, occ_ref, dir_ref,
@@ -164,6 +166,7 @@ def _multi_step_kernel(dyn: FastDynamics, num_inner: int, keys_ref, flow_ref,
     """K fused steps with state resident in VMEM across all of them — HBM
     sees one read + one write of the five fields per K steps."""
     prev = set_pallas_trace(True)  # Mosaic-native rotates for xroll
+    prev_dyn = set_pallas_dynloop(True)  # whole-field: looped 16-dir phases
     try:
         _multi_step_kernel_body(dyn, num_inner, keys_ref, flow_ref, occ_ref,
                                 dir_ref, afood_ref, efood_ref, chem_ref,
@@ -171,6 +174,7 @@ def _multi_step_kernel(dyn: FastDynamics, num_inner: int, keys_ref, flow_ref,
                                 reward_o, num_o, flow_o)
     finally:
         set_pallas_trace(prev)
+        set_pallas_dynloop(prev_dyn)
 
 
 def _multi_step_kernel_perlin(dyn: FastDynamics, num_inner: int, keys_ref,
@@ -179,6 +183,7 @@ def _multi_step_kernel_perlin(dyn: FastDynamics, num_inner: int, keys_ref,
                               afood_o, efood_o, chem_o, reward_o, num_o,
                               flow_o, s_flow, fsem):
     prev = set_pallas_trace(True)
+    prev_dyn = set_pallas_dynloop(True)  # whole-field: looped 16-dir phases
     try:
         _multi_step_kernel_body(dyn, num_inner, keys_ref, flow_ref, occ_ref,
                                 dir_ref, afood_ref, efood_ref, chem_ref,
@@ -188,6 +193,7 @@ def _multi_step_kernel_perlin(dyn: FastDynamics, num_inner: int, keys_ref,
                                 fsem=fsem)
     finally:
         set_pallas_trace(prev)
+        set_pallas_dynloop(prev_dyn)
 
 
 def _multi_step_kernel_body(dyn: FastDynamics, num_inner: int, keys_ref,

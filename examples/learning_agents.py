@@ -63,7 +63,15 @@ if __name__ == "__main__":
     ap.add_argument("--dynamics", default="st-perlin-wide",
                     choices=["st-perlin", "st-perlin-wide", "dyn-pred"])
     ap.add_argument("--popsize", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the JAX_PLATFORMS env var "
+                         "alone is captured too early)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     run_experiment(field_size=args.size, epochs=args.epochs,
                    epoch_iters=args.iters, dynamics_id=args.dynamics,
-                   popsize=args.popsize)
+                   popsize=args.popsize, seed=args.seed)

@@ -69,13 +69,24 @@ def record_fast(filename="animation.gif", field_size=(128, 128),
 
 
 def record(filename="animation.gif", field_size=(128, 128), num_frames=100,
-           agent_ratio=0.15, seed=0, headless=True):
+           agent_ratio=0.15, seed=0, headless=True, artifact=None):
+    """``artifact``: path of a trained NCAPolicy .npz (the flagship
+    training run's checkpoint) — replays the learned agent under the
+    st-perlin-wide dynamics it was trained on instead of Physarum."""
     if headless:
         matplotlib.use("Agg")
-    dyn = Dynamics(init_agent_ratio=agent_ratio)
     n = field_size[0] * field_size[1]
-    policy = PhysarumPolicy(max_agents=n, scale=0.006, turn_angle=30,
-                            sense_offset=0.04)
+    if artifact:
+        from die_tpu.core.config import preset
+        from die_tpu.models.nca import NCAPolicy
+
+        dyn = preset("st-perlin-wide", agent_ratio)
+        policy, nca_params = NCAPolicy.load(artifact)
+    else:
+        dyn = Dynamics(init_agent_ratio=agent_ratio)
+        policy = PhysarumPolicy(max_agents=n, scale=0.006, turn_angle=30,
+                                sense_offset=0.04)
+        nca_params = None
     master = jr.PRNGKey(seed)
     holder = {
         "state": init_env_state(jr.fold_in(master, ch.TAG_SESSION_ENV_INIT),
@@ -84,7 +95,8 @@ def record(filename="animation.gif", field_size=(128, 128), num_frames=100,
             jr.fold_in(master, ch.TAG_SESSION_POLICY_INIT)),
     }
     roll_key = jr.fold_in(master, ch.TAG_SESSION_ROLLOUT)
-    step = jax.jit(lambda s, p, k: policy_env_step(dyn, policy, None, s, p, k))
+    step = jax.jit(lambda s, p, k: policy_env_step(dyn, policy, nca_params,
+                                                   s, p, k))
 
     def frame_step(i):
         kt = jr.fold_in(roll_key, i)
@@ -114,9 +126,18 @@ if __name__ == "__main__":
     ap.add_argument("--tuned", action="store_true",
                     help="use the per-lattice tuned operating point "
                          "(fast/config.py::tuned_dynamics)")
+    ap.add_argument("--artifact", default=None,
+                    help="exact engine: replay a trained NCAPolicy .npz "
+                         "(e.g. docs/artifacts/nca_flagship_pgpe1000.npz) "
+                         "under st-perlin-wide dynamics")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     if args.engine == "fast":
         record_fast(args.out, (args.size, args.size), args.frames,
                     flow=args.flow, num_dirs=args.dirs, tuned=args.tuned)
     else:
-        record(args.out, (args.size, args.size), args.frames)
+        record(args.out, (args.size, args.size), args.frames,
+               artifact=args.artifact)

@@ -105,15 +105,32 @@ def main():
     if "xla" not in skip:
         timed("xla_scan", lambda s, k: fast_rollout(dyn, s, k, T))
 
-    # 4. whole-field K-step kernel (round-3: VMEM overflow at 256^2)
+    # 2b. banded with 2 bands (less halo recompute: 1.25x vs 1.5x rows)
+    if "banded2" not in skip:
+        from die_tpu.fast.pallas_step import pallas_banded_rollout
+
+        timed("banded2", lambda s, k: pallas_banded_rollout(
+            dyn, s, k, T, num_bands=2), bands=2)
+
+    # 4. whole-field K-step kernel (round-3: VMEM overflow at 256^2;
+    # round-4 loop restructure — A/B over roll kind and looped-phase set)
     if "whole" not in skip:
+        import die_tpu.fast.env as fenv
         from die_tpu.fast.pallas_step import pallas_fast_rollout_multi
 
-        for K in (32, 8):
-            v = timed(f"whole_K{K}", lambda s, k: pallas_fast_rollout_multi(
-                dyn, s, k, T, num_inner=K), K=K)
-            if v is not None:
-                break
+        for kind, phases in (("rotate", "move"),
+                             ("rotate", "move,acc"),
+                             ("rotate", "sense,move,acc"),
+                             ("switch", "move")):
+            fenv._DYNROLL_KIND = kind
+            import os as _o
+            _o.environ["DIE_TPU_DYNPHASES"] = phases
+            timed(f"whole_{kind}_{phases}",
+                  lambda s, k: pallas_fast_rollout_multi(
+                      dyn, s, k, T, num_inner=32),
+                  kind=kind, phases=phases)
+        fenv._DYNROLL_KIND = "switch"
+        _o.environ.pop("DIE_TPU_DYNPHASES", None)
 
 
 if __name__ == "__main__":
