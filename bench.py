@@ -14,6 +14,8 @@ Config via env vars:
   BENCH_STEPS  (default 256)   steps per timed scan (fast engine: also the
                                K-step kernel fusion depth)
   BENCH_REPS   (default 3)     timed repetitions (best taken)
+  BENCH_PALLAS_GATHER (default 0)  1 = route the exact engine's gathers
+                               through the fused Pallas kernel (bit-identical)
 Runs on whatever backend jax selects (the real TPU chip under axon).
 """
 import json
@@ -146,6 +148,12 @@ def main():
     N = int(os.environ.get("BENCH_AGENTS", 65536))
     T = int(os.environ.get("BENCH_STEPS", 32))
     REPS = int(os.environ.get("BENCH_REPS", 3))
+    if os.environ.get("BENCH_PALLAS_GATHER", "0") == "1":
+        # route the exact engine's hot gathers through the fused Pallas
+        # kernel (bit-identical; measured A/B in docs/PERF.md round 4)
+        from die_tpu.ops.pallas_gather import use_pallas_gather
+
+        use_pallas_gather(True)
 
     dyn = Dynamics(init_agent_ratio=0.15)
     policy = PhysarumPolicy(max_agents=N, scale=0.007, turn_angle=30,

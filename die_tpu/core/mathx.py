@@ -122,6 +122,28 @@ def pallas_trace_active() -> bool:
     return _PALLAS_TRACE
 
 
+def order_barrier(*vals):
+    """Pin the evaluation boundary between arithmetic stages.
+
+    XLA's algebraic simplifier reorders value-changing float patterns when
+    whole expressions fuse (measured: wave_field diverges by up to 3584 ulp
+    on TPU and on CPU-without-pinned-flags, while every isolated stage is
+    bit-exact — docs/PARITY.md round 4).  ``lax.optimization_barrier``
+    around stage results stops cross-stage rewrites without changing any
+    arithmetic.  Identity on the numpy backend (the oracle is the order
+    spec) and inside Pallas kernels (Mosaic runs no HLO simplification).
+
+    Returns a single value when given one argument, else a tuple.
+    """
+    xp = xp_of(*vals)
+    if xp is np or pallas_trace_active():
+        return vals[0] if len(vals) == 1 else vals
+    import jax
+
+    out = jax.lax.optimization_barrier(vals)
+    return out[0] if len(vals) == 1 else out
+
+
 _PALLAS_DYNLOOP = False
 
 

@@ -12,13 +12,16 @@ from __future__ import annotations
 
 import numpy as np
 
-from die_tpu.core.mathx import PI, sincos, sqrt, xp_of
+from die_tpu.core.mathx import PI, order_barrier, sincos, sqrt, xp_of
 from die_tpu.ops.perlin import perlin_field
 
 
 def _iota2d_f32(xp, shape, dim):
     """2D float iota — via broadcasted_iota on jax so the op is legal inside
-    Pallas kernels (captured array constants and 1-D iotas are not)."""
+    Pallas kernels (captured array constants and 1-D iotas are not).  Built
+    as an i32 iota converted to f32: Mosaic rejects float iotas outright
+    (round-4 real-chip finding), and the convert is bit-identical for any
+    iota length this code meets (exact integers < 2**24)."""
     if xp is np:
         n = shape[dim]
         a = np.arange(n, dtype=np.float32)
@@ -26,11 +29,18 @@ def _iota2d_f32(xp, shape, dim):
                                shape).copy()
     import jax
 
-    return jax.lax.broadcasted_iota(np.float32, shape, dim)
+    return jax.lax.broadcasted_iota(np.int32, shape, dim).astype(np.float32)
 
 
 def wave_field(size_wh, t):
-    """F(t): fp32 [W, H] field for scalar fp32 time ``t`` (np or jnp)."""
+    """F(t): fp32 [W, H] field for scalar fp32 time ``t`` (np or jnp).
+
+    Stage results pass through :func:`order_barrier` — when the whole
+    formula fuses into one XLA computation, the algebraic simplifier
+    reorders float arithmetic across stages (measured up to 3584 ulp on
+    TPU and unpinned CPU while every isolated stage is bit-exact; the
+    barriers restore bitwise oracle parity on the real chip —
+    docs/PARITY.md round 4).  No-ops on the numpy oracle and in Mosaic."""
     xp = xp_of(t)
     W, H = size_wh
     two = np.float32(2.0)
@@ -40,16 +50,26 @@ def wave_field(size_wh, t):
     ys_w = _iota2d_f32(xp, (W, 1), 0) * np.float32(1.0 / (W - 1))
     x = xs_h * two - one  # [1, H]
     y = ys_w * two - one  # [W, 1]
+    x, y = order_barrier(x, y)
 
+    # sincos ARGUMENTS are barriered: fused, the algebraic simplifier
+    # reassociates constant chains through them — (PI*x)*s3 -> x*(PI*s3)
+    # and (PI*x)*INV_PIO2 -> x*(PI*INV_PIO2) inside the range reduction —
+    # changing bits.  PI*x / PI*y are computed ONCE behind a barrier and
+    # reused, so no constant pair is left adjacent to fold.
     r = sqrt(x * x + y * y)  # [W, H]
-    sin_x, cos_x = sincos(PI * x)
-    sin_04y, _ = sincos(np.float32(0.4) * PI * y)
+    px = order_barrier(PI * x)
+    py = order_barrier(PI * y)
+    sin_x, cos_x = sincos(px)
+    sin_04y, _ = sincos(order_barrier(np.float32(0.4) * PI * y))
+    r, cos_x, sin_04y = order_barrier(r, cos_x, sin_04y)
     rwave = r + cos_x + sin_04y
-    _, z_waves = sincos(PI * (rwave + t))
+    _, z_waves = sincos(order_barrier(PI * (rwave + t)))
 
     s3 = np.float32(3.0)
-    sin_ix, _ = sincos(PI * x * s3 + t)
-    _, cos_iy = sincos(PI * y * s3 + t)
+    sin_ix, _ = sincos(order_barrier(px * s3 + t))
+    _, cos_iy = sincos(order_barrier(py * s3 + t))
+    z_waves, sin_ix, cos_iy = order_barrier(z_waves, sin_ix, cos_iy)
     z_islands = sin_ix + cos_iy
 
     mix = np.float32(0.25)

@@ -9,8 +9,11 @@
       chains cannot be contracted into differently-rounded fma instructions;
     - ``--xla_disable_hlo_passes=algsimp`` stops the HLO algebraic simplifier
       from value-changing rewrites (e.g. refolding ``1-(2u-1)`` into ``2-2u``).
-  Production runs (bench.py on TPU) keep full optimization; there the engine
-  is validated against the oracle at ulp-level tolerance instead.
+  Production runs (bench.py on TPU) keep full optimization; measured on the
+  real chip, every engine path still matches the oracle bit-for-bit
+  (docs/PARITY.md "on-chip divergence", tools/tpu_parity.py — the one
+  value-changing rewrite XLA:TPU applied, constant reassociation through
+  wave_field, is pinned off with mathx.order_barrier).
 """
 import os
 

@@ -71,7 +71,7 @@ def compare(name, traj_dev, traj_oracle, field_names):
 
 
 # ---------------------------------------------------------------- exact
-def run_exact(steps):
+def run_exact(steps, flow=False):
     import jax
     import jax.numpy as jnp
     import jax.random as jr
@@ -87,7 +87,14 @@ def run_exact(steps):
     from die_tpu.parallel.rollout import rollout
 
     size, n = (64, 64), 4096
-    dyn = Dynamics(init_agent_ratio=0.15)
+    if flow:
+        from die_tpu.core.config import FlowConfig
+
+        dyn = Dynamics(init_agent_ratio=0.15,
+                       flow=FlowConfig(kind="wave", scale=0.5, decay=0.5,
+                                       dt=0.01))
+    else:
+        dyn = Dynamics(init_agent_ratio=0.15)
     policy = PhysarumPolicy(max_agents=n, scale=0.007, turn_angle=30,
                             sense_offset=0.04)
     seed = 0
@@ -130,7 +137,8 @@ def run_exact(steps):
         o_state, _, _ = oracle_rollout(dyn, o_agent, o_state, knr, 1, t0=t)
         o_med[t] = o_state.medium
         o_agt[t] = o_state.agents
-    return compare("exact_engine", {"medium": mediums, "agents": agents},
+    return compare("exact_engine_flow" if flow else "exact_engine",
+                   {"medium": mediums, "agents": agents},
                    {"medium": o_med, "agents": o_agt},
                    ["medium", "agents"])
 
@@ -164,26 +172,51 @@ def run_fast(steps, which):
     import jax.random as jr
 
     from die_tpu.core.rng import np_key
-    from die_tpu.fast.config import FastDynamics
+    from die_tpu.fast.config import FastDynamics, tuned_dynamics
     from die_tpu.fast.init import fast_init_np
     from die_tpu.fast.rollout import fast_rollout, oracle_fast_rollout
 
     size = (64, 128)
-    dyn = FastDynamics()
+    if which.endswith("_16dir"):
+        dyn = tuned_dynamics(16)
+        which_base = which[:-6]
+    elif which.endswith("_flow"):
+        from die_tpu.fast.config import FlowConfig
+
+        dyn = FastDynamics(flow=FlowConfig(kind="wave", scale=0.05,
+                                           decay=0.1))
+        which_base = which[:-5]
+    elif which.endswith("_perlin"):
+        from die_tpu.fast.config import FlowConfig
+
+        dyn = FastDynamics(flow=FlowConfig(kind="perlin", scale=0.05,
+                                           decay=0.1, octaves=4))
+        which_base = which[:-7]
+    else:
+        dyn = FastDynamics()
+        which_base = which
     names = ("occ", "dir", "agent_food", "env_food", "chem")
     rkey = jr.PRNGKey(4)
 
     import jax
 
     interp = jax.default_backend() != "tpu"
-    if which == "fast_xla":
+    if which_base == "fast_xla":
         roll = lambda st, t: fast_rollout(dyn, st, rkey, 1, t0=t)  # noqa
-    elif which == "fast_pallas":
-        from die_tpu.fast.pallas_step import pallas_fast_rollout
+    elif which_base == "fast_pallas":
+        if dyn.flow.kind == "perlin":
+            # the 1-step wrapper refuses perlin (in-kernel jax.random);
+            # the K-step kernel precomputes the flow stack and DMAs it
+            from die_tpu.fast.pallas_step import pallas_fast_rollout_multi
 
-        roll = lambda st, t: pallas_fast_rollout(  # noqa
-            dyn, st, rkey, 1, t0=t, interpret=interp)
-    elif which == "fast_banded":
+            roll = lambda st, t: pallas_fast_rollout_multi(  # noqa
+                dyn, st, rkey, 1, num_inner=1, t0=t, interpret=interp)
+        else:
+            from die_tpu.fast.pallas_step import pallas_fast_rollout
+
+            roll = lambda st, t: pallas_fast_rollout(  # noqa
+                dyn, st, rkey, 1, t0=t, interpret=interp)
+    elif which_base == "fast_banded":
         from die_tpu.fast.pallas_step import pallas_banded_rollout
 
         roll = lambda st, t: pallas_banded_rollout(  # noqa
@@ -223,6 +256,8 @@ def main():
         try:
             if p == "exact":
                 run_exact(args.steps)
+            elif p == "exact_flow":
+                run_exact(args.steps, flow=True)
             else:
                 run_fast(args.steps, p)
         except Exception as e:
