@@ -142,20 +142,25 @@ def fast_rollout_auto(dyn: FastDynamics, state: FastEnvState, rollout_key,
     W, H = state.occ.shape
     pow2_ok = (W & (W - 1)) == 0 and (H & (H - 1)) == 0 and W >= 8 and H >= 128
     on_tpu = jax.default_backend() == "tpu"
-    if dyn.num_dirs == 16:
-        # ~2x the rolled intermediates of the Moore lattice: the 256^2
-        # whole-field kernel overflows VMEM (remote-compile crash, measured);
-        # 128^2 whole-field and 256^2 banded both compile and run
-        vmem_budget_cells //= 4
     if on_tpu and pow2_ok:
         # whole-field kernel: all flow kinds (perlin fields are
-        # precomputed and DMA'd)
+        # precomputed and DMA'd).  The 16-direction lattice shares the
+        # 8-dir budget since round 4: the on-demand roll restructure in
+        # fast_step_full (lowmem + birth-phase fori_loop) bounds its live
+        # set, and 256^2 whole-field compiles and runs for none/wave/
+        # perlin flow at 84,380 / 77,048 / 80,416 env-steps/s vs the old
+        # banded route's 46,862 (docs/PERF.md round 4)
         if W * H <= vmem_budget_cells and num_steps % num_inner == 0:
             from die_tpu.fast.pallas_step import pallas_fast_rollout_multi
 
             return pallas_fast_rollout_multi(dyn, state, rollout_key,
                                              num_steps, num_inner=num_inner,
                                              t0=t0)
+    if dyn.num_dirs == 16:
+        # banded blocks carry ~2x the rolled intermediates of the Moore
+        # lattice per band (the unrolled form stays — blocks are narrow):
+        # keep the conservative band count for 512^2+
+        vmem_budget_cells //= 4
     if on_tpu and pow2_ok:
         # banded kernel: all flow kinds (wave/perlin stacks are computed
         # from the carried flow_step and DMA'd per inner step)

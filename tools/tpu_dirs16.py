@@ -36,7 +36,12 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--skip", default="",
                     help="comma list of measurements to skip "
-                         "(banded,xla,whole)")
+                         "(banded,xla,banded2,whole)")
+    ap.add_argument("--whole", default="rotate:move rotate:move,acc "
+                    "rotate:sense,move,acc switch:move",
+                    help="space list of kind:phases whole-field variants")
+    ap.add_argument("--inner", type=int, default=32,
+                    help="K-step fusion depth for the whole-field kernel")
     args = ap.parse_args()
     skip = set(args.skip.split(","))
 
@@ -118,17 +123,15 @@ def main():
         import die_tpu.fast.env as fenv
         from die_tpu.fast.pallas_step import pallas_fast_rollout_multi
 
-        for kind, phases in (("rotate", "move"),
-                             ("rotate", "move,acc"),
-                             ("rotate", "sense,move,acc"),
-                             ("switch", "move")):
+        for spec in args.whole.split():
+            kind, phases = spec.split(":", 1)
             fenv._DYNROLL_KIND = kind
             import os as _o
             _o.environ["DIE_TPU_DYNPHASES"] = phases
-            timed(f"whole_{kind}_{phases}",
+            timed(f"whole_{kind}_{phases}_K{args.inner}",
                   lambda s, k: pallas_fast_rollout_multi(
-                      dyn, s, k, T, num_inner=32),
-                  kind=kind, phases=phases)
+                      dyn, s, k, T, num_inner=args.inner),
+                  kind=kind, phases=phases, K=args.inner)
         fenv._DYNROLL_KIND = "switch"
         _o.environ.pop("DIE_TPU_DYNPHASES", None)
 
