@@ -27,10 +27,20 @@ import time
 
 
 @contextlib.contextmanager
-def trace(logdir: str):
+def trace(logdir: str, python_tracer: bool = False):
+    """``jax.profiler.trace`` with the Python-interpreter tracer OFF by
+    default: at level 1 it emits ~1M `$builtins isinstance`-style events
+    (~50 MB per short capture) that bury the device timeline; host + device
+    activity and TraceAnnotation regions are level-independent."""
     import jax
 
-    with jax.profiler.trace(logdir):
+    try:
+        opts = jax.profiler.ProfileOptions()
+        opts.python_tracer_level = 1 if python_tracer else 0
+        cm = jax.profiler.trace(logdir, profiler_options=opts)
+    except TypeError:  # older jax without profiler_options
+        cm = jax.profiler.trace(logdir)
+    with cm:
         yield
 
 

@@ -57,6 +57,53 @@ def measure(dyn, field, B, T, mesh=None, reps=3, annotate_name=None):
     return B * T / best
 
 
+def measure_exact(field, B, T, reps=1, annotate_name=None):
+    """Exact-engine rollout (flat-agent Physarum) — traced runs show the
+    six substeps as ``die/*`` named XLA scopes (core/env.py)."""
+    from functools import partial
+
+    from die_tpu.core import channels as ch
+    from die_tpu.core.config import Dynamics
+    from die_tpu.core.init import init_env_state
+    from die_tpu.models.gradient import PhysarumPolicy
+    from die_tpu.parallel.rollout import rollout
+    from die_tpu.utils.profiling import annotate
+
+    dyn = Dynamics(init_agent_ratio=0.15)
+    n = max(256, field * field // 4)
+    policy = PhysarumPolicy(max_agents=n, scale=0.007, turn_angle=30,
+                            sense_offset=0.04)
+    master = jr.PRNGKey(0)
+    ek = jax.vmap(lambda i: jr.fold_in(
+        jr.fold_in(master, ch.TAG_SESSION_ENV_INIT), i))(jnp.arange(B))
+    pk = jax.vmap(lambda i: jr.fold_in(
+        jr.fold_in(master, ch.TAG_SESSION_POLICY_INIT), i))(jnp.arange(B))
+    rk = jax.vmap(lambda i: jr.fold_in(
+        jr.fold_in(master, ch.TAG_SESSION_ROLLOUT), i))(jnp.arange(B))
+    states = jax.jit(jax.vmap(
+        lambda k: init_env_state(k, (field, field), dyn, n)))(ek)
+    pstates = jax.jit(jax.vmap(policy.init_state))(pk)
+    fn = partial(rollout, dyn, policy)
+
+    @jax.jit
+    def run(s, p, k):
+        res = jax.vmap(fn, in_axes=(None, 0, 0, 0, None, None))(
+            None, s, p, k, T, 0)
+        return jnp.sum(res.rewards)
+
+    float(np.asarray(run(states, pstates, rk)))
+    best = float("inf")
+    for i in range(reps):
+        t0 = time.perf_counter()
+        if annotate_name:
+            with annotate(f"{annotate_name}/chunk{i}"):
+                float(np.asarray(run(states, pstates, rk)))
+        else:
+            float(np.asarray(run(states, pstates, rk)))
+        best = min(best, time.perf_counter() - t0)
+    return B * T / best
+
+
 
 try:
     from die_tpu.utils.cache import enable_compilation_cache
@@ -91,10 +138,15 @@ def main():
     if args.trace:
         from die_tpu.utils.profiling import trace
 
-        measure(dyn, args.field, args.envs, args.steps)  # compile outside
+        # compile everything OUTSIDE the trace window so the artifact shows
+        # steady-state device work, not tracing/compilation
+        measure(dyn, args.field, args.envs, args.steps)
+        measure_exact(args.field, min(args.envs, 8), args.steps)
         with trace(args.trace):
             measure(dyn, args.field, args.envs, args.steps, reps=1,
                     annotate_name="rollout")
+            measure_exact(args.field, min(args.envs, 8), args.steps, reps=1,
+                          annotate_name="exact_rollout")
         print(f"trace written to {args.trace}")
 
     r1 = measure(dyn, args.field, args.envs, args.steps)
