@@ -107,7 +107,8 @@ class PGPE:
         f_scale = jnp.maximum(jnp.max(fitnesses) - jnp.min(fitnesses),
                               np.float32(1e-8))
 
-        # center gradient: mean of (f+ - f-)/2 * eps / stdev^2, fitness-scaled
+        # center gradient: mean of (f+ - f-)/2 * eps, fitness-range-scaled
+        # (eps already carries stdev; ClipUp then normalizes the direction)
         d_center = ((f_plus - f_minus)[:, None] * np.float32(0.5) * eps
                     ).mean(axis=0) / f_scale
 
