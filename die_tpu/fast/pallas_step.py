@@ -196,12 +196,60 @@ def _multi_step_kernel_perlin(dyn: FastDynamics, num_inner: int, keys_ref,
         set_pallas_dynloop(prev_dyn)
 
 
+def _multi_step_kernel_learned(dyn: FastDynamics, num_inner: int, keys_ref,
+                               flow_ref, tp_ref, occ_ref, dir_ref, afood_ref,
+                               efood_ref, chem_ref, occ_o, dir_o, afood_o,
+                               efood_o, chem_o, reward_o, num_o, flow_o):
+    """K-step kernel with the learned LINEAR turn rule (fast/learned.py):
+    params f32[3, 7] ride in SMEM and are read as scalars inside the trace,
+    so one compiled kernel serves every candidate — ES populations vmap
+    over the params operand without recompiling.  (The conv-NCA rule stays
+    on the XLA path: its 3x3xC stacks would add ~500 roll+FMA field passes
+    per step in-kernel — ~3x the whole step — and XLA already fuses it.)"""
+    prev = set_pallas_trace(True)
+    prev_dyn = set_pallas_dynloop(True)
+    try:
+        _multi_step_kernel_body(dyn, num_inner, keys_ref, flow_ref, occ_ref,
+                                dir_ref, afood_ref, efood_ref, chem_ref,
+                                occ_o, dir_o, afood_o, efood_o, chem_o,
+                                reward_o, num_o, flow_o, tp_ref=tp_ref)
+    finally:
+        set_pallas_trace(prev)
+        set_pallas_dynloop(prev_dyn)
+
+
+def _multi_step_kernel_perlin_learned(dyn: FastDynamics, num_inner: int,
+                                      keys_ref, flow_ref, tp_ref, fstack_ref,
+                                      occ_ref, dir_ref, afood_ref, efood_ref,
+                                      chem_ref, occ_o, dir_o, afood_o,
+                                      efood_o, chem_o, reward_o, num_o,
+                                      flow_o, s_flow, fsem):
+    prev = set_pallas_trace(True)
+    prev_dyn = set_pallas_dynloop(True)
+    try:
+        _multi_step_kernel_body(dyn, num_inner, keys_ref, flow_ref, occ_ref,
+                                dir_ref, afood_ref, efood_ref, chem_ref,
+                                occ_o, dir_o, afood_o, efood_o, chem_o,
+                                reward_o, num_o, flow_o,
+                                fstack_ref=fstack_ref, s_flow=s_flow,
+                                fsem=fsem, tp_ref=tp_ref)
+    finally:
+        set_pallas_trace(prev)
+        set_pallas_dynloop(prev_dyn)
+
+
 def _multi_step_kernel_body(dyn: FastDynamics, num_inner: int, keys_ref,
                             flow_ref, occ_ref, dir_ref, afood_ref, efood_ref,
                             chem_ref, occ_o, dir_o, afood_o, efood_o, chem_o,
                             reward_o, num_o, flow_o, fstack_ref=None,
-                            s_flow=None, fsem=None):
+                            s_flow=None, fsem=None, tp_ref=None):
     shape = occ_ref.shape
+    turn_rule = None
+    if tp_ref is not None:
+        from die_tpu.fast.learned import make_turn_rule
+
+        # a pl Ref indexes like the params array (scalar SMEM loads)
+        turn_rule = make_turn_rule(tp_ref)
 
     def body(k, carry):
         occ, dirf, afood, efood, chem, flow_step = carry
@@ -221,6 +269,7 @@ def _multi_step_kernel_body(dyn: FastDynamics, num_inner: int, keys_ref,
                              env_food=efood, chem=chem,
                              flow_step=flow_step)
         new_state, reward, num = fast_step(dyn, state, bits,
+                                           turn_rule=turn_rule,
                                            flow_field=flow_field)
         reward_o[k, 0] = reward
         num_o[k, 0] = num
@@ -240,7 +289,7 @@ def _multi_step_kernel_body(dyn: FastDynamics, num_inner: int, keys_ref,
 
 
 def make_pallas_multi_step(dyn: FastDynamics, field_size, num_inner: int,
-                           interpret: bool = False):
+                           interpret: bool = False, learned: bool = False):
     """Returns jittable ``chunk(state, site_keys[K,2]) -> (state,
     rewards[K], nums[K])`` running K steps per kernel launch.
 
@@ -248,6 +297,11 @@ def make_pallas_multi_step(dyn: FastDynamics, field_size, num_inner: int,
     (jax.random draws cannot lower in Mosaic; they are a function of
     flow_step only, shared across lockstep envs) and DMA'd in per step —
     applied update and trajectories are bitwise identical to the XLA path.
+
+    ``learned=True``: chunk takes ``turn_params`` (the f32[3, 7] linear
+    turn rule of fast/learned.py) as an SMEM operand replacing the Jones
+    rule — one compiled kernel serves every candidate, so ES populations
+    vmap over it.
     """
     W, H = field_size
     if (W & (W - 1)) or (H & (H - 1)) or W < 8 or H < 128:
@@ -260,13 +314,23 @@ def make_pallas_multi_step(dyn: FastDynamics, field_size, num_inner: int,
     perlin = dyn.flow.kind == "perlin"
     field = jax.ShapeDtypeStruct((W, H), jnp.float32)
     if perlin:
-        kernel = partial(_multi_step_kernel_perlin, dyn, num_inner)
+        kernel = partial(
+            _multi_step_kernel_perlin_learned if learned
+            else _multi_step_kernel_perlin, dyn, num_inner)
     else:
-        kernel = partial(_multi_step_kernel, dyn, num_inner)
+        kernel = partial(
+            _multi_step_kernel_learned if learned else _multi_step_kernel,
+            dyn, num_inner)
 
-    def chunk(state: FastEnvState, site_keys, flow_stack=None):
+    def chunk(state: FastEnvState, site_keys, flow_stack=None,
+              turn_params=None):
+        if learned == (turn_params is None):
+            raise ValueError("turn_params required iff learned=True")
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
         args = [site_keys, state.flow_step.reshape(1, 1)]
+        if learned:
+            in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
+            args += [turn_params]
         scratch = []
         if perlin:
             if flow_stack is None:
@@ -306,7 +370,7 @@ def make_pallas_multi_step(dyn: FastDynamics, field_size, num_inner: int,
 def pallas_fast_rollout_multi(dyn: FastDynamics, state: FastEnvState,
                               rollout_key, num_steps: int,
                               num_inner: int = 8, t0: int = 0,
-                              interpret: bool = False):
+                              interpret: bool = False, turn_params=None):
     """Scan over K-step VMEM-resident kernel chunks (num_steps % K == 0).
 
     Perlin flow: the per-step flow fields are precomputed from the global
@@ -330,7 +394,8 @@ def pallas_fast_rollout_multi(dyn: FastDynamics, state: FastEnvState,
                 f"state.flow_step={fs}; resume with t0=state.flow_step or "
                 f"the flow fields will be for the wrong times")
     chunk = make_pallas_multi_step(dyn, state.occ.shape, num_inner,
-                                   interpret=interpret)
+                                   interpret=interpret,
+                                   learned=turn_params is not None)
     all_keys = jax.vmap(lambda t: site_keys_for_step(rollout_key, t))(
         jnp.arange(num_steps) + t0)
     chunked_keys = all_keys.reshape(num_steps // num_inner, num_inner, 2)
@@ -347,7 +412,8 @@ def pallas_fast_rollout_multi(dyn: FastDynamics, state: FastEnvState,
             keys_k, ts_k = xs
             fstack = jax.vmap(lambda t: perlin_flow_field(
                 dyn.flow, (W, H), t))(ts_k)
-            st, rewards, nums = chunk(st, keys_k, fstack)
+            st, rewards, nums = chunk(st, keys_k, fstack,
+                                      turn_params=turn_params)
             return st, (rewards, nums)
 
         state, (rewards, nums) = jax.lax.scan(body, state,
@@ -356,7 +422,7 @@ def pallas_fast_rollout_multi(dyn: FastDynamics, state: FastEnvState,
 
     def body(carry, keys_k):
         st = carry
-        st, rewards, nums = chunk(st, keys_k)
+        st, rewards, nums = chunk(st, keys_k, turn_params=turn_params)
         return st, (rewards, nums)
 
     state, (rewards, nums) = jax.lax.scan(body, state, chunked_keys)

@@ -1,0 +1,121 @@
+"""Learned linear turn rule inside the Pallas K-step kernel (round 4).
+
+The params ride as an SMEM operand (die_tpu/fast/pallas_step.py
+``learned=True``), so one compiled kernel serves an entire ES population.
+Interpret-mode bitwise parity vs the XLA scan and the NumPy oracle; the
+real-chip run is measured in tools/tpu_parity.py (`fast_pallas_learned`)
+and docs/PARITY.md.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import pytest
+
+from die_tpu.fast.config import FastDynamics
+from die_tpu.fast.init import fast_init_jax, fast_init_np
+from die_tpu.fast.learned import (
+    init_turn_params,
+    learned_fast_rollout,
+    learned_fast_rollout_auto,
+    np_init_turn_params,
+    oracle_learned_rollout,
+)
+from die_tpu.fast.pallas_step import pallas_fast_rollout_multi
+
+SIZE = (8, 128)
+
+
+def _assert_states_equal(a_state, b_state):
+    for name, a, b in zip(a_state._fields, a_state, b_state):
+        if name == "flow_step":
+            continue
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
+
+
+def test_pallas_learned_matches_xla_bitwise():
+    dyn = FastDynamics()
+    params = init_turn_params(jr.PRNGKey(7))
+    st = fast_init_jax(jr.PRNGKey(3), SIZE, dyn)
+    ref_state, ref_rew, ref_num = jax.jit(
+        lambda s, p: learned_fast_rollout(dyn, p, s, jr.PRNGKey(5), 6))(
+        st, params)
+    pal_state, pal_rew, pal_num = jax.jit(
+        lambda s, p: pallas_fast_rollout_multi(
+            dyn, s, jr.PRNGKey(5), 6, num_inner=3, interpret=True,
+            turn_params=p))(st, params)
+    assert np.array_equal(np.asarray(ref_rew), np.asarray(pal_rew))
+    assert np.array_equal(np.asarray(ref_num), np.asarray(pal_num))
+    _assert_states_equal(ref_state, pal_state)
+
+
+def test_pallas_learned_matches_numpy_oracle():
+    dyn = FastDynamics()
+    from die_tpu.core.rng import np_key
+
+    np_params = np_init_turn_params(np_key(7))
+    params = init_turn_params(jr.PRNGKey(7))
+    assert np.array_equal(np_params, np.asarray(params))
+
+    st_np = fast_init_np(np_key(3), SIZE, dyn)
+    st = fast_init_jax(jr.PRNGKey(3), SIZE, dyn)
+    o_state, o_rew, o_num = oracle_learned_rollout(
+        dyn, np_params, st_np, np_key(5), 4)
+    pal_state, pal_rew, pal_num = jax.jit(
+        lambda s, p: pallas_fast_rollout_multi(
+            dyn, s, jr.PRNGKey(5), 4, num_inner=4, interpret=True,
+            turn_params=p))(st, params)
+    assert np.array_equal(o_rew, np.asarray(pal_rew))
+    assert np.array_equal(o_num, np.asarray(pal_num))
+    _assert_states_equal(o_state, pal_state)
+
+
+def test_pallas_learned_population_vmap():
+    """vmap over (params, envs) — the ES-generation shape: every candidate
+    bitwise-matches its own XLA-scan rollout with no recompilation."""
+    dyn = FastDynamics()
+    pop = 3
+    params = jax.vmap(lambda i: init_turn_params(jr.fold_in(
+        jr.PRNGKey(9), i)))(jnp.arange(pop))
+    states = jax.vmap(lambda i: fast_init_jax(jr.fold_in(
+        jr.PRNGKey(3), i), SIZE, dyn))(jnp.arange(pop))
+    keys = jax.vmap(lambda i: jr.fold_in(jr.PRNGKey(5), i))(jnp.arange(pop))
+
+    _, ref_rew, _ = jax.jit(jax.vmap(
+        lambda p, s, k: learned_fast_rollout(dyn, p, s, k, 4)))(
+        params, states, keys)
+    _, pal_rew, _ = jax.jit(jax.vmap(
+        lambda p, s, k: pallas_fast_rollout_multi(
+            dyn, s, k, 4, num_inner=4, interpret=True, turn_params=p)))(
+        params, states, keys)
+    assert np.array_equal(np.asarray(ref_rew), np.asarray(pal_rew))
+
+
+def test_learned_auto_routes_off_tpu():
+    """Off-TPU the auto wrapper must take the XLA scan (and agree)."""
+    dyn = FastDynamics()
+    params = init_turn_params(jr.PRNGKey(7))
+    st = fast_init_jax(jr.PRNGKey(3), SIZE, dyn)
+    a_state, a_rew, _ = jax.jit(
+        lambda s, p: learned_fast_rollout_auto(dyn, p, s, jr.PRNGKey(5), 5))(
+        st, params)
+    r_state, r_rew, _ = jax.jit(
+        lambda s, p: learned_fast_rollout(dyn, p, s, jr.PRNGKey(5), 5))(
+        st, params)
+    assert np.array_equal(np.asarray(a_rew), np.asarray(r_rew))
+    _assert_states_equal(a_state, r_state)
+
+
+def test_chunk_turn_params_guard():
+    from die_tpu.fast.pallas_step import make_pallas_multi_step
+
+    dyn = FastDynamics()
+    st = fast_init_jax(jr.PRNGKey(3), SIZE, dyn)
+    keys = jnp.zeros((2, 2), jnp.uint32)
+    chunk = make_pallas_multi_step(dyn, SIZE, 2, interpret=True,
+                                   learned=True)
+    with pytest.raises(ValueError):
+        chunk(st, keys)  # learned=True needs turn_params
+    chunk2 = make_pallas_multi_step(dyn, SIZE, 2, interpret=True)
+    with pytest.raises(ValueError):
+        chunk2(st, keys, turn_params=init_turn_params(jr.PRNGKey(0)))

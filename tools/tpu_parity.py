@@ -235,6 +235,46 @@ def run_fast(steps, which):
     return compare(which, dict(zip(names, traj)), o_traj, list(names))
 
 
+def run_fast_learned(steps):
+    """Learned linear turn rule inside the K-step kernel (SMEM params
+    operand, round 4) vs the NumPy oracle running the same rule."""
+    import jax
+    import jax.random as jr
+
+    from die_tpu.core.rng import np_key
+    from die_tpu.fast.config import FastDynamics
+    from die_tpu.fast.init import fast_init_np
+    from die_tpu.fast.learned import (
+        init_turn_params,
+        np_init_turn_params,
+        oracle_learned_rollout,
+    )
+    from die_tpu.fast.pallas_step import pallas_fast_rollout_multi
+
+    size = (64, 128)
+    dyn = FastDynamics()
+    names = ("occ", "dir", "agent_food", "env_food", "chem")
+    rkey = jr.PRNGKey(4)
+    params = init_turn_params(jr.PRNGKey(7))
+    interp = jax.default_backend() != "tpu"
+
+    roll = lambda st, t: pallas_fast_rollout_multi(  # noqa: E731
+        dyn, st, rkey, 1, num_inner=1, t0=t, interpret=interp,
+        turn_params=params)
+    traj = _fast_traj(dyn, roll, steps, size)
+
+    np_params = np_init_turn_params(np_key(7))
+    st = fast_init_np(np_key(3), size, dyn)
+    o_traj = {n: np.zeros((steps,) + size, np.float32) for n in names}
+    for t in range(steps):
+        st, _, _ = oracle_learned_rollout(dyn, np_params, st, np_key(4), 1,
+                                          t0=t)
+        for n in names:
+            o_traj[n][t] = getattr(st, n)
+    return compare("fast_pallas_learned", dict(zip(names, traj)), o_traj,
+                   list(names))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=32)
@@ -258,6 +298,8 @@ def main():
                 run_exact(args.steps)
             elif p == "exact_flow":
                 run_exact(args.steps, flow=True)
+            elif p == "fast_pallas_learned":
+                run_fast_learned(args.steps)
             else:
                 run_fast(args.steps, p)
         except Exception as e:
