@@ -208,17 +208,28 @@ def train_lattice(dyn: FastDynamics, cfg: LatticeTrainConfig, log_fn=None,
                                 load_training_state(resume_from, es_state))
         resumed_best = load_training_best(resume_from)
 
+    from die_tpu.core.mathx import tree_sum
+
     def eval_member(flat_params, member_key):
         params = unravel(flat_params)
 
         def one_env(k):
             st = fast_init_jax(jr.fold_in(member_key, k), cfg.field_size, dyn)
-            _, rewards, _ = learned_fast_rollout(
+            # auto: K-step Pallas kernel on TPU-compatible geometries
+            # (bitwise-identical to the XLA scan — the population vmaps
+            # over the kernel's SMEM params operand), XLA scan elsewhere
+            _, rewards, _ = learned_fast_rollout_auto(
                 dyn, params, st, jr.fold_in(member_key, 1000 + k),
                 cfg.epoch_iters)
-            return jnp.sum(rewards)
+            # order-pinned fold: per-step rewards are bitwise across engine
+            # paths, but a naive jnp.sum's reduce order is fusion-dependent
+            # (XLA schedules it differently after a scan vs a kernel) —
+            # tree_sum keeps fitness, and so the whole training trajectory,
+            # bitwise-identical whichever path evaluated it
+            return tree_sum(rewards)
 
-        return jnp.mean(jax.vmap(one_env)(jnp.arange(cfg.envs_per_eval)))
+        per_env = jax.vmap(one_env)(jnp.arange(cfg.envs_per_eval))
+        return tree_sum(per_env) / np.float32(cfg.envs_per_eval)
 
     @jax.jit
     def generation(es_state, key):

@@ -91,6 +91,36 @@ def test_pallas_learned_population_vmap():
     assert np.array_equal(np.asarray(ref_rew), np.asarray(pal_rew))
 
 
+def test_pallas_learned_16dir_matches_xla_bitwise():
+    from die_tpu.fast.config import tuned_dynamics
+
+    dyn = tuned_dynamics(16)
+    params = init_turn_params(jr.PRNGKey(7))
+    st = fast_init_jax(jr.PRNGKey(3), SIZE, dyn)
+    ref_state, ref_rew, _ = jax.jit(
+        lambda s, p: learned_fast_rollout(dyn, p, s, jr.PRNGKey(5), 4))(
+        st, params)
+    pal_state, pal_rew, _ = jax.jit(
+        lambda s, p: pallas_fast_rollout_multi(
+            dyn, s, jr.PRNGKey(5), 4, num_inner=2, interpret=True,
+            turn_params=p))(st, params)
+    assert np.array_equal(np.asarray(ref_rew), np.asarray(pal_rew))
+    _assert_states_equal(ref_state, pal_state)
+
+
+def test_train_lattice_auto_smoke():
+    """train_lattice routes through learned_fast_rollout_auto — off-TPU it
+    must keep training bitwise as before (XLA scan path)."""
+    from die_tpu.fast.learned import LatticeTrainConfig, train_lattice
+
+    dyn = FastDynamics()
+    cfg = LatticeTrainConfig(field_size=(8, 128), epochs=2, epoch_iters=3,
+                             popsize=4, envs_per_eval=2, seed=0)
+    best, _, history = train_lattice(dyn, cfg)
+    assert best.shape == (3, 7)
+    assert len(history) == 2
+
+
 def test_learned_auto_routes_off_tpu():
     """Off-TPU the auto wrapper must take the XLA scan (and agree)."""
     dyn = FastDynamics()
