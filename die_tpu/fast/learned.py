@@ -119,27 +119,43 @@ def learned_fast_rollout_auto(dyn: FastDynamics, params, state: FastEnvState,
     kernel-compatible geometry, runs the K-step VMEM-resident Pallas
     kernel with ``params`` riding as an SMEM operand — ONE compiled
     kernel serves the whole ES population (vmap over params adds a grid
-    dim, no recompiles).  Anywhere else: the XLA scan.  Bitwise identical
-    either way (tests/test_pallas_learned.py; the turn rule is the same
-    backend-generic function in both paths and in the NumPy oracle)."""
+    dim, no recompiles); fields above the VMEM budget route to the banded
+    kernel.  Anywhere else: the XLA scan.  States are bitwise identical on
+    every path (tests/test_pallas_learned.py; the turn rule is the same
+    backend-generic function in all paths and in the NumPy oracle); the
+    whole-field kernel's rewards are bitwise too, while the banded
+    kernel's per-step reward carries the documented band-order fp32 fold
+    (tests/test_banded.py)."""
     import jax
 
     W, H = state.occ.shape
     pow2_ok = (W & (W - 1)) == 0 and (H & (H - 1)) == 0 \
         and W >= 8 and H >= 128
-    if jax.default_backend() == "tpu" and pow2_ok and W * H <= 256 * 256 \
+    if jax.default_backend() == "tpu" and pow2_ok \
             and dyn.flow.kind in ("none", "wave", "perlin"):
-        if num_inner is None:  # largest divisor of num_steps <= 256
-            num_inner = num_steps
-            while num_inner > 256 or num_steps % num_inner:
-                # num_steps is a rollout length (small int): walk down
-                num_inner -= 1
-        if num_steps % num_inner == 0:
-            from die_tpu.fast.pallas_step import pallas_fast_rollout_multi
+        if W * H <= 256 * 256:
+            if num_inner is None:  # largest divisor of num_steps <= 256
+                num_inner = num_steps
+                while num_inner > 256 or num_steps % num_inner:
+                    # num_steps is a rollout length (small int): walk down
+                    num_inner -= 1
+            if num_steps % num_inner == 0:
+                from die_tpu.fast.pallas_step import (
+                    pallas_fast_rollout_multi,
+                )
 
-            return pallas_fast_rollout_multi(
-                dyn, state, rollout_key, num_steps, num_inner=num_inner,
-                t0=t0, turn_params=params)
+                return pallas_fast_rollout_multi(
+                    dyn, state, rollout_key, num_steps, num_inner=num_inner,
+                    t0=t0, turn_params=params)
+        else:  # large fields: banded kernel, same band budget as Jones
+            from die_tpu.fast.pallas_step import pallas_banded_rollout
+            from die_tpu.fast.rollout import choose_bands
+
+            bands = choose_bands(dyn, W, H, 256 * 256)
+            if bands > 1:
+                return pallas_banded_rollout(
+                    dyn, state, rollout_key, num_steps, num_bands=bands,
+                    t0=t0, turn_params=params)
     return learned_fast_rollout(dyn, params, state, rollout_key, num_steps,
                                 t0=t0)
 

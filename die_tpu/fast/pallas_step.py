@@ -503,7 +503,7 @@ def make_pallas_banded_step(dyn: FastDynamics, field_size, num_bands: int,
                             batch: int = 1, num_inner: int = 1,
                             interpret: bool = False,
                             double_buffer: bool = True,
-                            _debug: str = None):
+                            _debug: str = None, learned: bool = False):
     """Returns jittable ``chunk(state, site_keys[, flow_stack]) ->
     (state, rewards, nums)`` for fields too large for the whole-field VMEM
     kernel, over a lockstep batch of ``batch`` envs and ``num_inner`` fused
@@ -560,7 +560,13 @@ def make_pallas_banded_step(dyn: FastDynamics, field_size, num_bands: int,
     skip_compute = _debug in ("nocompute", "grid")
     skip_dma = _debug in ("nodma", "grid")
 
-    def kernel(keys_ref, flow_in, *refs):
+    def kernel(keys_ref, *rest):
+        # scalar-prefetch order: site_keys[, turn_params]; then operands
+        if learned:
+            tp_ref, flow_in, *refs = rest
+        else:
+            tp_ref = None
+            flow_in, *refs = rest
         if has_flow:
             fstack_h = refs[0]
             refs = refs[1:]
@@ -649,6 +655,12 @@ def make_pallas_banded_step(dyn: FastDynamics, field_size, num_bands: int,
             row0 = jnp.asarray(top, jnp.uint32)
             from die_tpu.fast.env import fast_step_full, tree_sum_2d
 
+            turn_rule = None
+            if tp_ref is not None:
+                from die_tpu.fast.learned import make_turn_rule
+
+                turn_rule = make_turn_rule(tp_ref)
+
             sl = slice(r, r + Wb)
 
             def inner(k, carry):
@@ -673,6 +685,7 @@ def make_pallas_banded_step(dyn: FastDynamics, field_size, num_bands: int,
                                      env_food=efood, chem=chem,
                                      flow_step=flow_step)
                 ns, _, _, gained = fast_step_full(dyn, state, bits,
+                                                  turn_rule=turn_rule,
                                                   flow_field=flow_field)
                 reward_o[0, b, k] = tree_sum_2d(jnp, gained[sl])
                 num_o[0, b, k] = jnp.sum(
@@ -720,7 +733,7 @@ def make_pallas_banded_step(dyn: FastDynamics, field_size, num_bands: int,
     else:
         scratch += [pltpu.SemaphoreType.DMA(sem_shape)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2 if learned else 1,
         grid=(B, num_bands),
         in_specs=in_specs,
         out_specs=(band_spec,) * 5 + (per_env_spec, per_env_spec,
@@ -728,12 +741,18 @@ def make_pallas_banded_step(dyn: FastDynamics, field_size, num_bands: int,
         scratch_shapes=scratch,
     )
 
-    def step(state: FastEnvState, site_keys, flow_stack=None):
+    def step(state: FastEnvState, site_keys, flow_stack=None,
+             turn_params=None):
         if has_flow and flow_stack is None:
             raise ValueError("flow dynamics need the precomputed "
                              "[num_inner, W, H] flow_stack (see "
                              "pallas_banded_rollout_batch)")
-        args = [site_keys, state.flow_step.reshape(1, 1)]
+        if learned == (turn_params is None):
+            raise ValueError("turn_params required iff learned=True")
+        args = [site_keys]
+        if learned:
+            args += [turn_params]
+        args += [state.flow_step.reshape(1, 1)]
         if has_flow:
             args += [flow_stack]
         args += [state.occ, state.dir, state.agent_food, state.env_food,
@@ -762,7 +781,7 @@ def pallas_banded_rollout(dyn: FastDynamics, state: FastEnvState,
                           rollout_key, num_steps: int, num_bands: int,
                           num_inner: int = 1, t0: int = 0,
                           interpret: bool = False,
-                          double_buffer: bool = True):
+                          double_buffer: bool = True, turn_params=None):
     """Scan over the banded large-field step, single env (jit this).
     For lockstep batches use :func:`pallas_banded_rollout_batch`."""
     batched = FastEnvState(occ=state.occ[None], dir=state.dir[None],
@@ -773,7 +792,7 @@ def pallas_banded_rollout(dyn: FastDynamics, state: FastEnvState,
     out, rewards, nums = pallas_banded_rollout_batch(
         dyn, batched, rollout_key[None], num_steps, num_bands,
         num_inner=num_inner, t0=t0, interpret=interpret,
-        double_buffer=double_buffer)
+        double_buffer=double_buffer, turn_params=turn_params)
     return FastEnvState(occ=out.occ[0], dir=out.dir[0],
                         agent_food=out.agent_food[0],
                         env_food=out.env_food[0], chem=out.chem[0],
@@ -784,7 +803,8 @@ def pallas_banded_rollout_batch(dyn: FastDynamics, states: FastEnvState,
                                 rollout_keys, num_steps: int,
                                 num_bands: int, num_inner: int = 1,
                                 t0: int = 0, interpret: bool = False,
-                                double_buffer: bool = True):
+                                double_buffer: bool = True,
+                                turn_params=None):
     """Scan over the banded step for a lockstep batch: state fields
     ``[B, W, H]``, ``rollout_keys`` ``u32[B, 2]``, ``num_inner`` fused
     steps per kernel launch (num_steps % num_inner == 0).  Returns
@@ -797,7 +817,8 @@ def pallas_banded_rollout_batch(dyn: FastDynamics, states: FastEnvState,
     B, W, H = states.occ.shape
     step = make_pallas_banded_step(dyn, (W, H), num_bands, batch=B,
                                    num_inner=num_inner, interpret=interpret,
-                                   double_buffer=double_buffer)
+                                   double_buffer=double_buffer,
+                                   learned=turn_params is not None)
     has_flow = dyn.flow.kind != "none"
 
     def body(carry, ts):
@@ -810,7 +831,8 @@ def pallas_banded_rollout_batch(dyn: FastDynamics, states: FastEnvState,
 
             fstack = jax.vmap(lambda k: flow_field_any(
                 dyn.flow, (W, H), st.flow_step + k))(jnp.arange(num_inner))
-        st, rewards, nums = step(st, keys, fstack)  # (B, K)
+        st, rewards, nums = step(st, keys, fstack,
+                                 turn_params=turn_params)  # (B, K)
         return st, (rewards, nums)
 
     chunks = (jnp.arange(num_steps) + t0).reshape(-1, num_inner)

@@ -121,6 +121,27 @@ def test_train_lattice_auto_smoke():
     assert len(history) == 2
 
 
+def test_pallas_learned_banded_matches_xla_bitwise():
+    from die_tpu.fast.pallas_step import pallas_banded_rollout
+
+    dyn = FastDynamics()
+    params = init_turn_params(jr.PRNGKey(7))
+    st = fast_init_jax(jr.PRNGKey(3), (64, 128), dyn)
+    ref_state, ref_rew, ref_num = jax.jit(
+        lambda s, p: learned_fast_rollout(dyn, p, s, jr.PRNGKey(5), 4))(
+        st, params)
+    ban_state, ban_rew, ban_num = jax.jit(
+        lambda s, p: pallas_banded_rollout(
+            dyn, s, jr.PRNGKey(5), 4, num_bands=2, interpret=True,
+            turn_params=p))(st, params)
+    # states bitwise; rewards equal up to the documented band-order fp32
+    # fold (tests/test_banded.py convention); agent counts exact (int32)
+    np.testing.assert_allclose(np.asarray(ref_rew), np.asarray(ban_rew),
+                               rtol=1e-5, atol=1e-5)
+    assert np.array_equal(np.asarray(ref_num), np.asarray(ban_num))
+    _assert_states_equal(ref_state, ban_state)
+
+
 def test_learned_auto_routes_off_tpu():
     """Off-TPU the auto wrapper must take the XLA scan (and agree)."""
     dyn = FastDynamics()
