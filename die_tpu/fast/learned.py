@@ -65,6 +65,26 @@ def np_init_turn_params(key: np.ndarray) -> np.ndarray:
     return p
 
 
+def jones_identity_params(keep_eps: float = 1e-6) -> np.ndarray:
+    """The linear rule's exact Jones-mimic warm start: identity weights
+    (l_left = left, l_keep = fwd + keep_eps, l_right = right) make
+    make_turn_rule's decision chain reproduce the classic Jones argmax on
+    strict orderings, with deterministic tie-keeping in place of Jones'
+    random sign (the same measure-zero stand-in as fast/nca.py's
+    jones_mimic_conv_params, which scores ABOVE random-tie Jones).
+    ``keep_eps`` implements the ``fwd >=`` tie-to-keep; it must stay TINY:
+    the linear logits compare raw chem values, so eps is a turn deadband
+    in chem units (eps=0.01 swallowed the small gradients Jones acts on —
+    select 113.9 vs 151.8 at 1e-6 vs Jones' 151.6; the conv mimic is
+    immune because its gain-32 tanh amplifies differences first)."""
+    p = np.zeros((NUM_ACTIONS, NUM_FEATURES + 1), np.float32)
+    p[0, 0] = 1.0                      # l_left  = left probe
+    p[1, 1] = 1.0                      # l_keep  = fwd probe
+    p[1, NUM_FEATURES] = np.float32(keep_eps)
+    p[2, 2] = 1.0                      # l_right = right probe
+    return p
+
+
 def make_turn_rule(params):
     """turn_rule(xp, left, fwd, right, state) -> turn in {-1, 0, +1} f32."""
 
@@ -189,13 +209,22 @@ class LatticeTrainConfig(NamedTuple):
 def train_lattice(dyn: FastDynamics, cfg: LatticeTrainConfig, log_fn=None,
                   mesh=None, mesh_axis="pop", checkpoint_dir=None,
                   checkpoint_every: int = 0, resume_from=None,
-                  start_epoch: int = 0):
+                  start_epoch: int = 0, params_init=None,
+                  common_random_envs: bool = False,
+                  radius_init: float = 0.5):
     """Neuroevolution of the turn rule on the fast engine.
 
     ``checkpoint_dir``/``checkpoint_every``: periodic ES-state checkpoints
     (preemption-safe, like learn/train.py); ``resume_from``/``start_epoch``
     continue a run with the exact searcher state — epochs are keyed by
     index, so a resumed run replays the same generation stream.
+
+    ``params_init``: optional f32[3, 7] to start the PGPE center at (e.g.
+    ``jones_identity_params`` — the warm start that escapes the keep-only
+    local optimum on the 16-dir lattice, mirroring fast/nca.py's
+    jones-mimic recipe).  ``common_random_envs``: evaluate every member of
+    a generation on the same envs/bit streams (CRN variance reduction —
+    the round-3 conv unlock).
 
     Returns (best_params f32[3,7], es_state, history).
     """
@@ -207,10 +236,13 @@ def train_lattice(dyn: FastDynamics, cfg: LatticeTrainConfig, log_fn=None,
     from die_tpu.fast.init import fast_init_jax
     from die_tpu.learn.es import PGPE
 
-    params0 = init_turn_params(jr.PRNGKey(cfg.seed))
+    if params_init is not None:
+        params0 = jnp.asarray(params_init, jnp.float32)
+    else:
+        params0 = init_turn_params(jr.PRNGKey(cfg.seed))
     flat0, unravel = ravel_pytree(params0)
     searcher = PGPE(flat0.shape[0], popsize=cfg.popsize,
-                    center_learning_rate=0.05, radius_init=0.5,
+                    center_learning_rate=0.05, radius_init=radius_init,
                     max_speed=0.1)
     es_state = searcher.init(flat0)
     resumed_best = None
@@ -250,9 +282,15 @@ def train_lattice(dyn: FastDynamics, cfg: LatticeTrainConfig, log_fn=None,
     @jax.jit
     def generation(es_state, key):
         pop, eps = searcher.ask(es_state, jr.fold_in(key, 0))
-        member_keys = jax.vmap(
-            lambda i: jr.fold_in(jr.fold_in(key, 1), i)
-        )(jnp.arange(cfg.popsize))
+        if common_random_envs:
+            # one shared eval key per generation: every member sees the
+            # same envs and bit streams, so fitness DIFFERENCES are exact
+            member_keys = jnp.broadcast_to(
+                jnp.asarray(jr.fold_in(key, 1)), (cfg.popsize, 2))
+        else:
+            member_keys = jax.vmap(
+                lambda i: jr.fold_in(jr.fold_in(key, 1), i)
+            )(jnp.arange(cfg.popsize))
         from die_tpu.learn.es import shard_population, unshard_population
 
         pop, member_keys = shard_population(mesh, mesh_axis, pop,

@@ -299,3 +299,41 @@ def test_committed_conv8_resumed_artifact_improves():
     dyn = FastDynamics(init_agent_ratio=0.15, food_infinite=True)
     jones, conv = _artifact_heldout_pair("lattice8_conv_resumed.npz", dyn)
     assert conv > jones
+
+
+def test_committed_linear16_artifact_beats_tuned_jones():
+    """The committed 16-dir LINEAR checkpoint (docs/artifacts/
+    lattice16_linear.npz, trained by tools/sweep_linear16.py warm_r05_crn
+    at kernel speed: held-out 662.3 vs tuned Jones 653.6 on the full
+    32-seed block) outforages the tuned Jones rule — the first linear rule
+    to do so on the finest-turning lattice.  Cold CRN-ES collapses there
+    (288.9, same failure as the conv's); the unlock was warm-starting PGPE
+    at jones_identity_params (the linear rule expresses the Jones argmax
+    EXACTLY with identity weights — see its keep_eps note)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from die_tpu.fast.config import tuned_dynamics
+    from die_tpu.fast.learned import learned_fast_rollout
+    from die_tpu.fast.rollout import fast_rollout
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir, "docs",
+                        "artifacts", "lattice16_linear.npz")
+    params = jnp.asarray(np.load(path)["params"])
+    dyn = tuned_dynamics(16, init_agent_ratio=0.15, food_infinite=True)
+    size, steps, seed0 = (64, 64), 50, 10_000  # sweep's held-out protocol
+
+    def heldout(roll_fn, n_seeds=6):
+        def one(i):
+            st = fast_init_jax(jr.fold_in(jr.PRNGKey(seed0), i), size, dyn)
+            _, rewards, _ = roll_fn(st, jr.fold_in(jr.PRNGKey(seed0 + 1), i))
+            return jnp.sum(rewards)
+
+        return float(np.mean(np.asarray(
+            jax.jit(jax.vmap(one))(jnp.arange(n_seeds)))))
+
+    jones = heldout(lambda s, k: fast_rollout(dyn, s, k, steps))
+    linear = heldout(lambda s, k: learned_fast_rollout(dyn, params, s, k,
+                                                       steps))
+    assert linear > jones
