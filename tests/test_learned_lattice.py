@@ -1,4 +1,5 @@
 """Learnable lattice policy: oracle parity, and ES training improves it."""
+import pytest
 import numpy as np
 import jax
 import jax.random as jr
@@ -301,15 +302,17 @@ def test_committed_conv8_resumed_artifact_improves():
     assert conv > jones
 
 
-def test_committed_linear16_artifact_beats_tuned_jones():
-    """The committed 16-dir LINEAR checkpoint (docs/artifacts/
-    lattice16_linear.npz, trained by tools/sweep_linear16.py warm_r05_crn
-    at kernel speed: held-out 662.3 vs tuned Jones 653.6 on the full
-    32-seed block) outforages the tuned Jones rule — the first linear rule
-    to do so on the finest-turning lattice.  Cold CRN-ES collapses there
-    (288.9, same failure as the conv's); the unlock was warm-starting PGPE
-    at jones_identity_params (the linear rule expresses the Jones argmax
-    EXACTLY with identity weights — see its keep_eps note)."""
+@pytest.mark.parametrize("dirs", [4, 16])
+def test_committed_linear_artifact_beats_tuned_jones(dirs):
+    """The committed LINEAR checkpoints (docs/artifacts/
+    lattice{4,16}_linear.npz, trained by tools/sweep_linear16.py at kernel
+    speed) outforage the tuned Jones rule — 16-dir: held-out 662.3 vs
+    653.6 (first linear rule to do so on the finest-turning lattice; cold
+    CRN-ES collapses there at 288.9, same failure as the conv's — the
+    unlock was warm-starting PGPE at jones_identity_params, the EXACT
+    identity-weight Jones mimic); 4-dir: 574.6 vs 560.7, also above the
+    round-3 conv's 565.7.  Linear rules now beat Jones on all three
+    lattices (8-dir: 347.8 vs 283.1, round 2)."""
     import os
 
     import jax.numpy as jnp
@@ -319,9 +322,9 @@ def test_committed_linear16_artifact_beats_tuned_jones():
     from die_tpu.fast.rollout import fast_rollout
 
     path = os.path.join(os.path.dirname(__file__), os.pardir, "docs",
-                        "artifacts", "lattice16_linear.npz")
+                        "artifacts", f"lattice{dirs}_linear.npz")
     params = jnp.asarray(np.load(path)["params"])
-    dyn = tuned_dynamics(16, init_agent_ratio=0.15, food_infinite=True)
+    dyn = tuned_dynamics(dirs, init_agent_ratio=0.15, food_infinite=True)
     size, steps, seed0 = (64, 64), 50, 10_000  # sweep's held-out protocol
 
     def heldout(roll_fn, n_seeds=6):

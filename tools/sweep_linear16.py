@@ -32,6 +32,13 @@ def log(rec):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dirs", type=int, default=16, choices=(4, 8, 16))
+    ap.add_argument("--warm-only", action="store_true")
+    args = ap.parse_args()
+
     from die_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
@@ -52,7 +59,8 @@ def main():
     # sweep_conv_nca16_warm.py) — NOT bare tuned_dynamics(16): the first
     # run of this sweep used the bare config and measured Jones at 151.6,
     # not the 653.6 baseline (density + finite food change the game)
-    DYN = tuned_dynamics(16, init_agent_ratio=0.15, food_infinite=True)
+    DYN = tuned_dynamics(args.dirs, init_agent_ratio=0.15,
+                         food_infinite=True)
     SIZE, STEPS = 64, 50
     SELECT_SEED0, HELDOUT_SEED0 = 20_000, 10_000
 
@@ -89,7 +97,7 @@ def main():
         ("warm_r05_crn", 200, 64, 0, True, 0.5, True),
         ("warm_r05_crn_e400", 400, 64, 1, True, 0.5, True),
     ):
-        if "--warm-only" in sys.argv and not warm:
+        if args.warm_only and not warm:
             continue
         cfg = LatticeTrainConfig(field_size=(64, 128), epochs=epochs,
                                  epoch_iters=STEPS, popsize=pop,
@@ -108,11 +116,10 @@ def main():
     sel, label, best = max(results, key=lambda r: r[0])
     held = heldout(lambda s, k: learned_fast_rollout(
         DYN, best, s, k, STEPS), 32, HELDOUT_SEED0)
-    np.savez("docs/artifacts/lattice16_linear.npz",
-             params=np.asarray(best))
-    log({"item": "selected_heldout", "label": label, "heldout": held,
-         "jones_baseline": 653.6, "conv_baseline": 692.9,
-         "artifact": "docs/artifacts/lattice16_linear.npz"})
+    art = f"docs/artifacts/lattice{args.dirs}_linear.npz"
+    np.savez(art, params=np.asarray(best))
+    log({"item": "selected_heldout", "dirs": args.dirs, "label": label,
+         "heldout": held, "artifact": art})
 
 
 if __name__ == "__main__":
