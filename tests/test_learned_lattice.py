@@ -302,7 +302,7 @@ def test_committed_conv8_resumed_artifact_improves():
     assert conv > jones
 
 
-@pytest.mark.parametrize("dirs", [4, 16])
+@pytest.mark.parametrize("dirs", [4, 8, 16])
 def test_committed_linear_artifact_beats_tuned_jones(dirs):
     """The committed LINEAR checkpoints (docs/artifacts/
     lattice{4,16}_linear.npz, trained by tools/sweep_linear16.py at kernel
