@@ -109,6 +109,29 @@ def tuned_dynamics(num_dirs: int = 8, **overrides) -> FastDynamics:
     return FastDynamics(**base)
 
 
+# The lattice-learning evaluation protocol (BASELINE.md "learning-eval
+# protocol"): every committed learned-rule number (Jones baselines, the
+# held-out artifact scores 692.9 / 662.3 / 574.6 / ...) is measured under
+# THIS config — 64x64 fields, 50-step episodes, fresh seeds from the
+# 10_000 block (selection sweeps use disjoint blocks), mean total episode
+# reward.  init_agent_ratio/food_infinite matter: the bare tuned config
+# scores 16-dir Jones at 151.6, not 653.6 (docs/ROADMAP.md round 4).
+# tests/test_tuned_dirs16.py pins these values so config drift breaks a
+# test instead of silently moving the baseline under the artifacts.
+EVAL_PROTOCOL = dict(size=64, steps=50, seed0=10_000, full_seeds=32,
+                     init_agent_ratio=0.15, food_infinite=True)
+
+
+def eval_protocol_dynamics(num_dirs: int = 8) -> FastDynamics:
+    """The exact FastDynamics the learning-eval protocol runs under: the
+    lattice's tuned operating point with the protocol's population/food
+    settings.  Use this (not a hand-built tuned_dynamics call) anywhere a
+    number is compared against the committed artifact scores."""
+    return tuned_dynamics(
+        num_dirs, init_agent_ratio=EVAL_PROTOCOL["init_agent_ratio"],
+        food_infinite=EVAL_PROTOCOL["food_infinite"])
+
+
 # 8 lattice directions, counter-clockwise starting East, as (dx, dy) in
 # (row, col) = (x, y) array axes.  d+1 is a 45-degree left turn.
 DIR_OFFSETS = (

@@ -120,6 +120,20 @@ def choose_bands(dyn: FastDynamics, W: int, H: int,
     return 1
 
 
+def banded_budget(dyn: FastDynamics,
+                  vmem_budget_cells: int = 256 * 256) -> int:
+    """The VMEM cell budget the BANDED kernel route plans with.  The
+    16-direction lattice gets a quarter of the whole-field budget: banded
+    blocks keep the unrolled roll form (blocks are narrow), so they carry
+    ~2x the rolled intermediates of the Moore lattice per band — the
+    conservative count avoids Mosaic VMEM overflow at 512^2+.  Shared by
+    fast_rollout_auto and learned_fast_rollout_auto (advisor round 4: the
+    learned path previously skipped the reduction)."""
+    if dyn.num_dirs == 16:
+        return vmem_budget_cells // 4
+    return vmem_budget_cells
+
+
 def fast_rollout_auto(dyn: FastDynamics, state: FastEnvState, rollout_key,
                       num_steps: int, t0: int = 0, num_inner: int = 32,
                       vmem_budget_cells: int = 256 * 256):
@@ -156,11 +170,7 @@ def fast_rollout_auto(dyn: FastDynamics, state: FastEnvState, rollout_key,
             return pallas_fast_rollout_multi(dyn, state, rollout_key,
                                              num_steps, num_inner=num_inner,
                                              t0=t0)
-    if dyn.num_dirs == 16:
-        # banded blocks carry ~2x the rolled intermediates of the Moore
-        # lattice per band (the unrolled form stays — blocks are narrow):
-        # keep the conservative band count for 512^2+
-        vmem_budget_cells //= 4
+    vmem_budget_cells = banded_budget(dyn, vmem_budget_cells)
     if on_tpu and pow2_ok:
         # banded kernel: all flow kinds (wave/perlin stacks are computed
         # from the carried flow_step and DMA'd per inner step)

@@ -38,7 +38,9 @@ def trace(logdir: str, python_tracer: bool = False):
         opts = jax.profiler.ProfileOptions()
         opts.python_tracer_level = 1 if python_tracer else 0
         cm = jax.profiler.trace(logdir, profiler_options=opts)
-    except TypeError:  # older jax without profiler_options
+    except (TypeError, AttributeError):
+        # older jax: either trace() rejects profiler_options (TypeError) or
+        # jax.profiler has no ProfileOptions at all (AttributeError)
         cm = jax.profiler.trace(logdir)
     with cm:
         yield

@@ -6,6 +6,14 @@ the best solution visually, examples/learning_agents.py:103-107); this is
 the quantitative twin used for the roadmap's learning-efficacy ledger:
 mean episode reward over fresh held-out seeds, identical env/config for
 every policy.
+
+THE PROTOCOL (pinned in die_tpu/fast/config.py::EVAL_PROTOCOL and
+tests/test_tuned_dirs16.py::test_eval_protocol_pinned): 64x64 fields,
+50-step episodes, 32 held-out seeds from block 10_000, dynamics =
+``eval_protocol_dynamics(dirs)`` — the lattice's tuned operating point
+with init_agent_ratio=0.15, food_infinite=True.  Those two overrides are
+load-bearing: the bare tuned config scores 16-dir Jones at 151.6, not the
+653.6 every committed artifact number is compared against.
 """
 from __future__ import annotations
 
@@ -75,10 +83,9 @@ def main():
                          "tuned operating point (tuned_dynamics)")
     args = ap.parse_args()
 
-    from die_tpu.fast.config import tuned_dynamics
+    from die_tpu.fast.config import eval_protocol_dynamics
 
-    dyn = tuned_dynamics(args.dirs, init_agent_ratio=0.15,
-                         food_infinite=True)
+    dyn = eval_protocol_dynamics(args.dirs)
     T = args.steps
 
     out = {}

@@ -111,14 +111,17 @@ def test_committed_conv_artifact_beats_jones():
     from die_tpu.fast.nca import ConvTurnParams, conv_nca_rollout
     from die_tpu.fast.rollout import fast_rollout
 
+    from die_tpu.fast.config import EVAL_PROTOCOL, eval_protocol_dynamics
+
     path = os.path.join(os.path.dirname(__file__), os.pardir,
                         "docs", "artifacts", "lattice_conv_beats_jones.npz")
     data = np.load(path)
     params = ConvTurnParams(conv=jnp.asarray(data["conv"]),
                             head=jnp.asarray(data["head"]),
                             bias=jnp.asarray(data["bias"]))
-    dyn = FastDynamics(init_agent_ratio=0.15, food_infinite=True)
-    size, steps, seed0 = (64, 64), 50, 10_000  # sweep's held-out protocol
+    dyn = eval_protocol_dynamics(8)  # the pinned learning-eval protocol
+    size = (EVAL_PROTOCOL["size"],) * 2
+    steps, seed0 = EVAL_PROTOCOL["steps"], EVAL_PROTOCOL["seed0"]
 
     def heldout(roll_fn, n_seeds=6):
         def one(i):
@@ -220,7 +223,7 @@ def test_committed_conv16_artifact_beats_tuned_jones():
 
     import jax.numpy as jnp
 
-    from die_tpu.fast.config import tuned_dynamics
+    from die_tpu.fast.config import EVAL_PROTOCOL, eval_protocol_dynamics
     from die_tpu.fast.nca import ConvTurnParams, conv_nca_rollout
     from die_tpu.fast.rollout import fast_rollout
 
@@ -230,8 +233,9 @@ def test_committed_conv16_artifact_beats_tuned_jones():
     params = ConvTurnParams(conv=jnp.asarray(data["conv"]),
                             head=jnp.asarray(data["head"]),
                             bias=jnp.asarray(data["bias"]))
-    dyn = tuned_dynamics(16, init_agent_ratio=0.15, food_infinite=True)
-    size, steps, seed0 = (64, 64), 50, 10_000  # sweep's held-out protocol
+    dyn = eval_protocol_dynamics(16)  # the pinned learning-eval protocol
+    size = (EVAL_PROTOCOL["size"],) * 2
+    steps, seed0 = EVAL_PROTOCOL["steps"], EVAL_PROTOCOL["seed0"]
 
     def heldout(roll_fn, n_seeds=6):
         def one(i):
@@ -249,12 +253,13 @@ def test_committed_conv16_artifact_beats_tuned_jones():
 
 def _artifact_heldout_pair(artifact, dyn, n_seeds=6):
     """Held-out (jones, conv) mean episode rewards for a committed
-    conv-NCA checkpoint on the sweep protocol (64x64, 50 steps, seed
-    block 10_000)."""
+    conv-NCA checkpoint on the pinned learning-eval protocol (64x64, 50
+    steps, seed block 10_000 — fast/config.py::EVAL_PROTOCOL)."""
     import os
 
     import jax.numpy as jnp
 
+    from die_tpu.fast.config import EVAL_PROTOCOL
     from die_tpu.fast.nca import ConvTurnParams, conv_nca_rollout
     from die_tpu.fast.rollout import fast_rollout
 
@@ -264,7 +269,8 @@ def _artifact_heldout_pair(artifact, dyn, n_seeds=6):
     params = ConvTurnParams(conv=jnp.asarray(data["conv"]),
                             head=jnp.asarray(data["head"]),
                             bias=jnp.asarray(data["bias"]))
-    size, steps, seed0 = (64, 64), 50, 10_000
+    size = (EVAL_PROTOCOL["size"],) * 2
+    steps, seed0 = EVAL_PROTOCOL["steps"], EVAL_PROTOCOL["seed0"]
 
     def heldout(roll_fn):
         def one(i):
@@ -284,11 +290,10 @@ def test_committed_conv4_artifact_beats_jones():
     """4-dir: warm-started CRN-PGPE from the Jones mimic edges out Jones
     (full-block 565.7 vs 560.7 — tools/sweep_conv_nca_warm48.py).  With
     this, LEARNED rules beat the handcrafted rule on all three lattices."""
-    from die_tpu.fast.config import tuned_dynamics
+    from die_tpu.fast.config import eval_protocol_dynamics
 
-    dyn = tuned_dynamics(4, init_agent_ratio=0.15, food_infinite=True)
     jones, conv = _artifact_heldout_pair("lattice4_conv_beats_jones.npz",
-                                         dyn)
+                                         eval_protocol_dynamics(4))
     assert conv > jones
 
 
@@ -297,8 +302,10 @@ def test_committed_conv8_resumed_artifact_improves():
     (full-block 351.3 vs the original's 340.5 and Jones' 283.1 —
     tools/sweep_conv_nca_warm48.py resume_r05); the round-2 run had not
     converged."""
-    dyn = FastDynamics(init_agent_ratio=0.15, food_infinite=True)
-    jones, conv = _artifact_heldout_pair("lattice8_conv_resumed.npz", dyn)
+    from die_tpu.fast.config import eval_protocol_dynamics
+
+    jones, conv = _artifact_heldout_pair("lattice8_conv_resumed.npz",
+                                         eval_protocol_dynamics(8))
     assert conv > jones
 
 
@@ -317,15 +324,16 @@ def test_committed_linear_artifact_beats_tuned_jones(dirs):
 
     import jax.numpy as jnp
 
-    from die_tpu.fast.config import tuned_dynamics
+    from die_tpu.fast.config import EVAL_PROTOCOL, eval_protocol_dynamics
     from die_tpu.fast.learned import learned_fast_rollout
     from die_tpu.fast.rollout import fast_rollout
 
     path = os.path.join(os.path.dirname(__file__), os.pardir, "docs",
                         "artifacts", f"lattice{dirs}_linear.npz")
     params = jnp.asarray(np.load(path)["params"])
-    dyn = tuned_dynamics(dirs, init_agent_ratio=0.15, food_infinite=True)
-    size, steps, seed0 = (64, 64), 50, 10_000  # sweep's held-out protocol
+    dyn = eval_protocol_dynamics(dirs)  # the pinned learning-eval protocol
+    size = (EVAL_PROTOCOL["size"],) * 2
+    steps, seed0 = EVAL_PROTOCOL["steps"], EVAL_PROTOCOL["seed0"]
 
     def heldout(roll_fn, n_seeds=6):
         def one(i):

@@ -50,3 +50,31 @@ def test_tuned_dynamics_other_lattices_passthrough():
     assert tuned_dynamics(8) == FastDynamics()
     assert tuned_dynamics(4) == FastDynamics(num_dirs=4)
     assert tuned_dynamics(16, sense_dist=3).sense_dist == 3
+
+
+def test_eval_protocol_pinned():
+    """The learning-eval protocol config that EVERY committed artifact
+    score (692.9 / 662.3 / 653.6 / ...) is measured under, pinned field by
+    field: editing tuned_dynamics, EVAL_PROTOCOL, or eval_protocol_dynamics
+    breaks this test instead of silently moving the baseline the artifact
+    regressions compare against (VERDICT r4 weak #3)."""
+    from die_tpu.fast.config import EVAL_PROTOCOL, eval_protocol_dynamics
+
+    assert EVAL_PROTOCOL == dict(size=64, steps=50, seed0=10_000,
+                                 full_seeds=32, init_agent_ratio=0.15,
+                                 food_infinite=True)
+    d16 = eval_protocol_dynamics(16)
+    assert d16 == FastDynamics(
+        num_dirs=16, sense_dist=2, deposit_coef=0.5, rate_decay_chem=0.05,
+        diffuse_sigma=1.25, idle_deposit=0.025, randomize_on_block=False,
+        init_agent_ratio=0.15, food_infinite=True)
+    assert eval_protocol_dynamics(8) == FastDynamics(
+        init_agent_ratio=0.15, food_infinite=True)
+    assert eval_protocol_dynamics(4) == FastDynamics(
+        num_dirs=4, init_agent_ratio=0.15, food_infinite=True)
+    # the non-obvious protocol-relevant defaults ride inside FastDynamics:
+    # pin the ones the sweeps depended on explicitly
+    assert (d16.rate_feed, d16.cost_move, d16.cost_deposit) == \
+        (0.1, 0.01, 0.02)
+    assert (d16.agents_die, d16.agents_born) == (False, False)
+    assert d16.rng_kind == "murmur"

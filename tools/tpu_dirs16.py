@@ -120,13 +120,14 @@ def main():
     # 4. whole-field K-step kernel (round-3: VMEM overflow at 256^2;
     # round-4 loop restructure — A/B over roll kind and looped-phase set)
     if "whole" not in skip:
+        import os as _o
+
         import die_tpu.fast.env as fenv
         from die_tpu.fast.pallas_step import pallas_fast_rollout_multi
 
         for spec in args.whole.split():
             kind, phases = spec.split(":", 1)
             fenv._DYNROLL_KIND = kind
-            import os as _o
             _o.environ["DIE_TPU_DYNPHASES"] = phases
             timed(f"whole_{kind}_{phases}_K{args.inner}",
                   lambda s, k: pallas_fast_rollout_multi(
