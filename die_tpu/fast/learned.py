@@ -1,15 +1,20 @@
-"""Learnable lattice policy: a parameterized turn rule for the fast engine.
+"""Learnable lattice policies: parameterized turn rules for the fast engine.
 
 The capability twin of the reference's learned agent (NeuralAutomataAgent —
 a conv perception model trained by neuroevolution): here the fixed Jones
-turn rule (argmax of three chem probes) is replaced by a linear policy over
-local observations, trained by the JAX-native ES stack at fast-engine
-throughput (~10^5 env-steps/s/chip vs ~10^2 for the flat-agent NCA path).
+turn rule (argmax of three chem probes) is replaced by a parameterized
+policy over local observations, trained by the JAX-native ES stack at
+fast-engine throughput (~10^5 env-steps/s/chip vs ~10^2 for the flat-agent
+NCA path).  Two kernel-resident families, selected by the params SHAPE
+(make_turn_rule dispatch), plus the conv-NCA in fast/nca.py (XLA path):
 
-Per-cell features (all already materialized by the step):
+LINEAR — per-cell features (all already materialized by the step):
     [probe_left, probe_fwd, probe_right, env_food, agent_food, chem]
 Params: W f32[3, 6] + b f32[3] -> logits for {turn left, keep, turn right};
 deterministic argmax with pinned tie-breaking (keep > left > right).
+
+MLP (round 5) — per-cell 7-feature -> hidden hardtanh -> 3-logit network
+(see the section below); the kernel-cheap NONLINEAR family.
 
 ``fast_step`` accepts the rule through its ``turn_rule`` hook, so the
 learned path shares every other substep (movement, deposit, feeding,
@@ -86,8 +91,21 @@ def jones_identity_params(keep_eps: float = 1e-6) -> np.ndarray:
 
 
 def make_turn_rule(params):
-    """turn_rule(xp, left, fwd, right, state) -> turn in {-1, 0, +1} f32."""
+    """turn_rule(xp, left, fwd, right, state) -> turn in {-1, 0, +1} f32.
 
+    Dispatches on the (static) params shape — the one entry point every
+    engine path uses (XLA scan, whole-field kernel, banded kernel, NumPy
+    oracle), including Pallas SMEM Refs, which index like the array:
+      rows == NUM_ACTIONS (f32[3, 7])  -> the LINEAR rule;
+      rows == hidden + NUM_ACTIONS     -> the per-cell MLP rule (round 5,
+                                          f32[hidden+3, >=max(8, hidden+1)]).
+    """
+    if params.shape[0] == NUM_ACTIONS:
+        return _make_linear_turn_rule(params)
+    return make_mlp_turn_rule(params)
+
+
+def _make_linear_turn_rule(params):
     def rule(xp, left, fwd, right, state: FastEnvState, bits):
         feats = (left, fwd, right, state.env_food, state.agent_food,
                  state.chem)
@@ -103,6 +121,140 @@ def make_turn_rule(params):
         turn = xp.where(l_right > m, -_F1,
                         xp.where(l_left > l_keep, _F1, _F0))
         return turn
+
+    return rule
+
+
+# ---------------------------------------------------------------------------
+# Per-cell MLP turn rule (round 5): the kernel-cheap NONLINEAR rule family
+# above the linear one — the capability the conv-NCA provides on the XLA
+# path (matching the reference's flagship learnable agent,
+# /root/reference/core/agent/evo.py:45-118), made kernel-resident.
+#
+# Architecture: features -> hidden (hardtanh) -> 3 logits, all per-cell
+# affine maps whose weights ride in SMEM exactly like the linear rule — no
+# rolls, no convs, so the in-kernel cost is ~hidden*(MLP_FEATURES+NUM_ACTIONS)
+# FMA field passes (~90 for hidden=8) on top of the ~250-op step, vs the
+# ~500 extra roll+FMA passes that kept the conv rule on the XLA path.
+#
+# The nonlinearity is HARDTANH (clip to [-1, 1], 2 elementwise ops), not
+# the cephes tanh (~18 ops/field): ES training needs no smoothness or
+# gradients, hardtanh keeps the bounded-saturating shape that makes the
+# Jones-mimic warm start work, and hardtanh(0) == 0 EXACTLY (mathx.tanh(0)
+# is ~6e-8), so all-tie cells keep without a keep_eps deadband.
+# ---------------------------------------------------------------------------
+
+MLP_FEATURES = 7  # left, fwd, right, occ, agent_food, env_food, chem
+
+
+def mlp_param_shape(hidden: int = 8):
+    """One packed f32 param array (SMEM-friendly 2D, like the linear rule):
+    rows 0..hidden-1 = layer-1 rows (MLP_FEATURES weights, bias at col
+    MLP_FEATURES); rows hidden..hidden+2 = head rows for (left, keep,
+    right) logits (hidden weights, bias at col ``hidden``).  Entries
+    outside those slots are dead: zero-initialized and never read (ES
+    perturbs them with no effect)."""
+    return (hidden + NUM_ACTIONS, max(MLP_FEATURES + 1, hidden + 1))
+
+
+def _mlp_live_mask(hidden: int) -> np.ndarray:
+    m = np.zeros(mlp_param_shape(hidden), np.float32)
+    m[:hidden, :MLP_FEATURES + 1] = 1.0
+    m[hidden:, :hidden + 1] = 1.0
+    return m
+
+
+def init_mlp_params(key, hidden: int = 8, keep_bias: float = 0.5):
+    """Small-random init from the contract RNG (dead slots zeroed); the
+    keep-logit bias bump keeps untrained populations moving coherently —
+    the same trick as the linear/conv inits."""
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    from die_tpu.core.rng import uniform01_from_bits
+
+    shape = mlp_param_shape(hidden)
+    u = uniform01_from_bits(jr.bits(key, shape, jnp.uint32))
+    p = (np.float32(2.0) * u - _F1) * np.float32(0.1)
+    p = p * jnp.asarray(_mlp_live_mask(hidden))
+    import jax
+
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    bump = ((row == hidden + 1) & (col == hidden)).astype(jnp.float32) \
+        * np.float32(keep_bias)
+    return p + bump
+
+
+def np_init_mlp_params(key: np.ndarray, hidden: int = 8,
+                       keep_bias: float = 0.5) -> np.ndarray:
+    from die_tpu.core.rng import np_random_bits, uniform01_from_bits
+
+    shape = mlp_param_shape(hidden)
+    u = uniform01_from_bits(np_random_bits(key, shape))
+    p = (np.float32(2.0) * u - _F1) * np.float32(0.1)
+    p = p * _mlp_live_mask(hidden)
+    p[hidden + 1, hidden] += np.float32(keep_bias)
+    return p
+
+
+def jones_mimic_mlp_params(hidden: int = 8, gain: float = 32.0,
+                           advance: float = 2.0, side: float = 1.0,
+                           keep_eps: float = 0.0) -> np.ndarray:
+    """The MLP's Jones-mimic warm start — fast/nca.py's
+    jones_mimic_conv_params recipe on the per-cell architecture: three
+    hidden units read probe DIFFERENCES
+      h0 = hardtanh(gain*(left - fwd)), h1 = hardtanh(gain*(right - fwd)),
+      h2 = hardtanh(gain*(left - right))
+    and the head forms l_left = advance*h0 + side*h2, l_keep = keep_eps,
+    l_right = advance*h1 - side*h2.  With advance > side and the
+    differences saturated this reproduces the Jones argmax on strict
+    orderings; hardtanh(0) == 0 exactly, so all-tie cells keep even at
+    keep_eps = 0 (the measure-zero tie states keep deterministically in
+    place of Jones' random sign, as in both existing mimics).  Remaining
+    hidden units start at exact zero for PGPE to grow."""
+    if hidden < 3:
+        raise ValueError("the Jones mimic needs >= 3 hidden units")
+    p = np.zeros(mlp_param_shape(hidden), np.float32)
+    g = np.float32(gain)
+    p[0, 0], p[0, 1] = g, -g    # h0: left - fwd
+    p[1, 2], p[1, 1] = g, -g    # h1: right - fwd
+    p[2, 0], p[2, 2] = g, -g    # h2: left - right
+    a, c = np.float32(advance), np.float32(side)
+    p[hidden + 0, 0] = a        # l_left += a*h0
+    p[hidden + 0, 2] = c        # l_left += c*h2
+    p[hidden + 1, hidden] = np.float32(keep_eps)
+    p[hidden + 2, 1] = a        # l_right += a*h1
+    p[hidden + 2, 2] = -c       # l_right -= c*h2
+    return p
+
+
+def make_mlp_turn_rule(params):
+    """Per-cell MLP turn rule; ``params`` is the packed array (or SMEM Ref)
+    of :func:`mlp_param_shape` layout."""
+    hidden_n = params.shape[0] - NUM_ACTIONS
+
+    def rule(xp, left, fwd, right, state: FastEnvState, bits):
+        feats = (left, fwd, right, state.occ, state.agent_food,
+                 state.env_food, state.chem)
+        hidden = []
+        for h in range(hidden_n):
+            acc = params[h, MLP_FEATURES] * _F1  # bias
+            for f in range(MLP_FEATURES):
+                acc = acc + params[h, f] * feats[f]
+            # hardtanh — explicit min/max (clip signatures differ np/jnp)
+            hidden.append(xp.minimum(xp.maximum(acc, -_F1), _F1))
+        logits = []
+        for a in range(NUM_ACTIONS):
+            acc = params[hidden_n + a, hidden_n] * _F1  # bias
+            for h in range(hidden_n):
+                acc = acc + params[hidden_n + a, h] * hidden[h]
+            logits.append(acc)
+        l_left, l_keep, l_right = logits
+        # pinned tie-breaking: keep >= left >= right (as the linear rule)
+        m = xp.maximum(l_keep, l_left)
+        return xp.where(l_right > m, -_F1,
+                        xp.where(l_left > l_keep, _F1, _F0))
 
     return rule
 
@@ -145,13 +297,17 @@ def learned_fast_rollout_auto(dyn: FastDynamics, params, state: FastEnvState,
     backend-generic function in all paths and in the NumPy oracle); the
     whole-field kernel's rewards are bitwise too, while the banded
     kernel's per-step reward carries the documented band-order fp32 fold
-    (tests/test_banded.py)."""
+    (tests/test_banded.py).
+
+    ``num_inner`` applies to the WHOLE-FIELD kernel only (steps fused per
+    launch); the banded route runs its own per-launch schedule, exactly as
+    fast_rollout_auto's does."""
     import jax
 
     W, H = state.occ.shape
     pow2_ok = (W & (W - 1)) == 0 and (H & (H - 1)) == 0 \
         and W >= 8 and H >= 128
-    if jax.default_backend() == "tpu" and pow2_ok \
+    if jax.default_backend() == "tpu" and pow2_ok and num_steps > 0 \
             and dyn.flow.kind in ("none", "wave", "perlin"):
         if W * H <= 256 * 256:
             if num_inner is None:  # largest divisor of num_steps <= 256
@@ -169,9 +325,9 @@ def learned_fast_rollout_auto(dyn: FastDynamics, params, state: FastEnvState,
                     t0=t0, turn_params=params)
         else:  # large fields: banded kernel, same band budget as Jones
             from die_tpu.fast.pallas_step import pallas_banded_rollout
-            from die_tpu.fast.rollout import choose_bands
+            from die_tpu.fast.rollout import banded_budget, choose_bands
 
-            bands = choose_bands(dyn, W, H, 256 * 256)
+            bands = choose_bands(dyn, W, H, banded_budget(dyn))
             if bands > 1:
                 return pallas_banded_rollout(
                     dyn, state, rollout_key, num_steps, num_bands=bands,
@@ -219,14 +375,16 @@ def train_lattice(dyn: FastDynamics, cfg: LatticeTrainConfig, log_fn=None,
     continue a run with the exact searcher state — epochs are keyed by
     index, so a resumed run replays the same generation stream.
 
-    ``params_init``: optional f32[3, 7] to start the PGPE center at (e.g.
-    ``jones_identity_params`` — the warm start that escapes the keep-only
-    local optimum on the 16-dir lattice, mirroring fast/nca.py's
-    jones-mimic recipe).  ``common_random_envs``: evaluate every member of
-    a generation on the same envs/bit streams (CRN variance reduction —
-    the round-3 conv unlock).
+    ``params_init``: optional params array to start the PGPE center at —
+    its SHAPE selects the rule family (f32[3, 7] linear, default; an
+    ``mlp_param_shape(hidden)`` array trains the per-cell MLP — both run
+    inside the kernels).  E.g. ``jones_identity_params`` /
+    ``jones_mimic_mlp_params`` — the warm starts that escape the keep-only
+    local optimum on the 16-dir lattice.  ``common_random_envs``: evaluate
+    every member of a generation on the same envs/bit streams (CRN
+    variance reduction — the round-3 conv unlock).
 
-    Returns (best_params f32[3,7], es_state, history).
+    Returns (best_params shaped like the init, es_state, history).
     """
     import jax
     import jax.numpy as jnp
@@ -323,5 +481,4 @@ def train_lattice(dyn: FastDynamics, cfg: LatticeTrainConfig, log_fn=None,
 
             save_training_state(checkpoint_dir, epoch, es_state, cfg,
                                 best_fit=best_fit, best_center=best_center)
-    return best_center.reshape(NUM_ACTIONS, NUM_FEATURES + 1), es_state, \
-        history
+    return best_center.reshape(params0.shape), es_state, history

@@ -200,12 +200,15 @@ def _multi_step_kernel_learned(dyn: FastDynamics, num_inner: int, keys_ref,
                                flow_ref, tp_ref, occ_ref, dir_ref, afood_ref,
                                efood_ref, chem_ref, occ_o, dir_o, afood_o,
                                efood_o, chem_o, reward_o, num_o, flow_o):
-    """K-step kernel with the learned LINEAR turn rule (fast/learned.py):
-    params f32[3, 7] ride in SMEM and are read as scalars inside the trace,
-    so one compiled kernel serves every candidate — ES populations vmap
-    over the params operand without recompiling.  (The conv-NCA rule stays
-    on the XLA path: its 3x3xC stacks would add ~500 roll+FMA field passes
-    per step in-kernel — ~3x the whole step — and XLA already fuses it.)"""
+    """K-step kernel with a learned turn rule (fast/learned.py): params
+    ride in SMEM and are read as scalars inside the trace, so one compiled
+    kernel serves every candidate — ES populations vmap over the params
+    operand without recompiling.  The params SHAPE selects the family
+    (make_turn_rule dispatch): f32[3, 7] = linear; f32[hidden+3, .] = the
+    per-cell MLP (round 5 — nonlinear at ~90 extra FMA passes).  (The
+    conv-NCA rule stays on the XLA path: its 3x3xC stacks would add ~500
+    roll+FMA field passes per step in-kernel — ~3x the whole step — and
+    XLA already fuses it.)"""
     prev = set_pallas_trace(True)
     prev_dyn = set_pallas_dynloop(True)
     try:
@@ -298,8 +301,9 @@ def make_pallas_multi_step(dyn: FastDynamics, field_size, num_inner: int,
     flow_step only, shared across lockstep envs) and DMA'd in per step —
     applied update and trajectories are bitwise identical to the XLA path.
 
-    ``learned=True``: chunk takes ``turn_params`` (the f32[3, 7] linear
-    turn rule of fast/learned.py) as an SMEM operand replacing the Jones
+    ``learned=True``: chunk takes ``turn_params`` (a fast/learned.py
+    params array — f32[3, 7] linear or mlp_param_shape(hidden) MLP; the
+    shape selects the family) as an SMEM operand replacing the Jones
     rule — one compiled kernel serves every candidate, so ES populations
     vmap over it.
     """

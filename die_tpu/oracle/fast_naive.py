@@ -142,6 +142,50 @@ def naive_linear_turn(params):
     return fn
 
 
+def naive_mlp_turn(params):
+    """Per-cell restatement of the learned MLP turn rule
+    (die_tpu/fast/learned.py::make_mlp_turn_rule): ascending-order affine
+    layer-1 rows over (left, fwd, right, occ, agent_food, env_food, chem),
+    hardtanh as explicit scalar min/max, ascending-order head rows, and
+    the pinned keep>=left>=right tie-breaking."""
+    params = np.asarray(params, np.float32)
+    hidden_n = params.shape[0] - 3
+
+    def fn(left, fwd, right, st: FastEnvState):
+        W, H = left.shape
+        feats = (left, fwd, right, np.asarray(st.occ),
+                 np.asarray(st.agent_food), np.asarray(st.env_food),
+                 np.asarray(st.chem))
+        turn = np.zeros((W, H), np.float32)
+        one = np.float32(1.0)
+        for i in range(W):
+            for j in range(H):
+                hidden = []
+                for h in range(hidden_n):
+                    acc = np.float32(params[h, 7] * one)  # bias
+                    for f in range(7):
+                        acc = np.float32(
+                            acc + np.float32(params[h, f] * feats[f][i, j]))
+                    hidden.append(np.minimum(np.maximum(acc, -one), one))
+                logits = []
+                for a in range(3):
+                    acc = np.float32(params[hidden_n + a, hidden_n] * one)
+                    for h in range(hidden_n):
+                        acc = np.float32(
+                            acc + np.float32(params[hidden_n + a, h]
+                                             * hidden[h]))
+                    logits.append(acc)
+                l_left, l_keep, l_right = logits
+                m = np.maximum(l_keep, l_left)
+                if l_right > m:
+                    turn[i, j] = np.float32(-1.0)
+                elif l_left > l_keep:
+                    turn[i, j] = _F1
+        return turn
+
+    return fn
+
+
 def naive_conv_turn(params):
     """Per-cell restatement of the conv-NCA turn rule
     (die_tpu/fast/nca.py::make_conv_turn_rule): explicit wrap-indexed 3x3

@@ -157,6 +157,131 @@ def test_learned_auto_routes_off_tpu():
     _assert_states_equal(a_state, r_state)
 
 
+def test_pallas_mlp_matches_xla_bitwise():
+    """The per-cell MLP rule (round 5) inside the K-step kernel — the
+    params SMEM operand shape-dispatches to the MLP family."""
+    from die_tpu.fast.learned import init_mlp_params
+
+    dyn = FastDynamics()
+    params = init_mlp_params(jr.PRNGKey(7))
+    assert params.shape == (11, 9)
+    st = fast_init_jax(jr.PRNGKey(3), SIZE, dyn)
+    ref_state, ref_rew, ref_num = jax.jit(
+        lambda s, p: learned_fast_rollout(dyn, p, s, jr.PRNGKey(5), 6))(
+        st, params)
+    pal_state, pal_rew, pal_num = jax.jit(
+        lambda s, p: pallas_fast_rollout_multi(
+            dyn, s, jr.PRNGKey(5), 6, num_inner=3, interpret=True,
+            turn_params=p))(st, params)
+    assert np.array_equal(np.asarray(ref_rew), np.asarray(pal_rew))
+    assert np.array_equal(np.asarray(ref_num), np.asarray(pal_num))
+    _assert_states_equal(ref_state, pal_state)
+
+
+def test_pallas_mlp_matches_numpy_oracle():
+    from die_tpu.core.rng import np_key
+    from die_tpu.fast.learned import init_mlp_params, np_init_mlp_params
+
+    dyn = FastDynamics()
+    np_params = np_init_mlp_params(np_key(7))
+    params = init_mlp_params(jr.PRNGKey(7))
+    assert np.array_equal(np_params, np.asarray(params))
+
+    st_np = fast_init_np(np_key(3), SIZE, dyn)
+    st = fast_init_jax(jr.PRNGKey(3), SIZE, dyn)
+    o_state, o_rew, o_num = oracle_learned_rollout(
+        dyn, np_params, st_np, np_key(5), 4)
+    pal_state, pal_rew, pal_num = jax.jit(
+        lambda s, p: pallas_fast_rollout_multi(
+            dyn, s, jr.PRNGKey(5), 4, num_inner=4, interpret=True,
+            turn_params=p))(st, params)
+    assert np.array_equal(o_rew, np.asarray(pal_rew))
+    assert np.array_equal(o_num, np.asarray(pal_num))
+    _assert_states_equal(o_state, pal_state)
+
+
+def test_pallas_mlp_16dir_matches_xla_bitwise():
+    from die_tpu.fast.config import tuned_dynamics
+    from die_tpu.fast.learned import jones_mimic_mlp_params
+
+    dyn = tuned_dynamics(16)
+    params = jnp.asarray(jones_mimic_mlp_params())
+    st = fast_init_jax(jr.PRNGKey(3), SIZE, dyn)
+    ref_state, ref_rew, _ = jax.jit(
+        lambda s, p: learned_fast_rollout(dyn, p, s, jr.PRNGKey(5), 4))(
+        st, params)
+    pal_state, pal_rew, _ = jax.jit(
+        lambda s, p: pallas_fast_rollout_multi(
+            dyn, s, jr.PRNGKey(5), 4, num_inner=2, interpret=True,
+            turn_params=p))(st, params)
+    assert np.array_equal(np.asarray(ref_rew), np.asarray(pal_rew))
+    _assert_states_equal(ref_state, pal_state)
+
+
+def test_pallas_mlp_banded_matches_xla_bitwise():
+    from die_tpu.fast.learned import init_mlp_params
+    from die_tpu.fast.pallas_step import pallas_banded_rollout
+
+    dyn = FastDynamics()
+    params = init_mlp_params(jr.PRNGKey(7), hidden=4)
+    st = fast_init_jax(jr.PRNGKey(3), (64, 128), dyn)
+    ref_state, ref_rew, ref_num = jax.jit(
+        lambda s, p: learned_fast_rollout(dyn, p, s, jr.PRNGKey(5), 4))(
+        st, params)
+    ban_state, ban_rew, ban_num = jax.jit(
+        lambda s, p: pallas_banded_rollout(
+            dyn, s, jr.PRNGKey(5), 4, num_bands=2, interpret=True,
+            turn_params=p))(st, params)
+    np.testing.assert_allclose(np.asarray(ref_rew), np.asarray(ban_rew),
+                               rtol=1e-5, atol=1e-5)
+    assert np.array_equal(np.asarray(ref_num), np.asarray(ban_num))
+    _assert_states_equal(ref_state, ban_state)
+
+
+def test_mlp_mimic_matches_jones_on_strict_orderings():
+    """jones_mimic_mlp_params reproduces the Jones argmax wherever the
+    ordering is strict (the warm start for kernel-speed MLP training);
+    hardtanh(0) == 0 exactly, so the all-tie state keeps at keep_eps=0."""
+    from die_tpu.fast.env import FastEnvState
+    from die_tpu.fast.learned import jones_mimic_mlp_params, make_turn_rule
+
+    rule = make_turn_rule(jones_mimic_mlp_params())
+    rng = np.random.default_rng(42)
+    W = H = 32
+    st = FastEnvState(*[rng.uniform(0, 1, (W, H)).astype(np.float32)
+                        for _ in range(len(FastEnvState._fields))])
+    left, fwd, right = [rng.uniform(0, 5, (W, H)).astype(np.float32)
+                        for _ in range(3)]
+    turn = np.asarray(rule(np, left, fwd, right, st, None))
+    keep = (fwd >= left) & (fwd >= right)
+    jones = np.where(keep, 0.0, np.where(left > right, 1.0,
+                     np.where(right > left, -1.0, np.nan))).astype(np.float32)
+    strict = ~np.isnan(jones)
+    agree = (turn[strict] == jones[strict]).mean()
+    assert agree >= 0.99, agree
+    zero = np.zeros((W, H), np.float32)
+    assert np.all(np.asarray(rule(np, zero, zero, zero, st, None)) == 0.0)
+
+
+def test_train_lattice_mlp_smoke():
+    """train_lattice trains the MLP family when params_init has the MLP
+    shape; best params come back in that shape."""
+    from die_tpu.fast.learned import (
+        LatticeTrainConfig,
+        init_mlp_params,
+        train_lattice,
+    )
+
+    dyn = FastDynamics(food_infinite=True)
+    cfg = LatticeTrainConfig(field_size=(16, 16), epochs=2, epoch_iters=3,
+                             popsize=4, envs_per_eval=1, seed=0)
+    p0 = init_mlp_params(jr.PRNGKey(0), hidden=4)
+    best, _, history = train_lattice(dyn, cfg, params_init=p0)
+    assert best.shape == p0.shape
+    assert len(history) == 2
+    assert all(np.isfinite(h["best"]) for h in history)
+
+
 def test_chunk_turn_params_guard():
     from die_tpu.fast.pallas_step import make_pallas_multi_step
 
