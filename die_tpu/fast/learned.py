@@ -362,12 +362,18 @@ class LatticeTrainConfig(NamedTuple):
     seed: int = 0
 
 
+def _es_center(es_state):
+    """The searcher-state field holding the distribution center: PGPE/
+    OpenAIES carry ``center``, the CMA-ES family carries ``mean``."""
+    return es_state.center if hasattr(es_state, "center") else es_state.mean
+
+
 def train_lattice(dyn: FastDynamics, cfg: LatticeTrainConfig, log_fn=None,
                   mesh=None, mesh_axis="pop", checkpoint_dir=None,
                   checkpoint_every: int = 0, resume_from=None,
                   start_epoch: int = 0, params_init=None,
                   common_random_envs: bool = False,
-                  radius_init: float = 0.5):
+                  radius_init: float = 0.5, searcher_fn=None):
     """Neuroevolution of the turn rule on the fast engine.
 
     ``checkpoint_dir``/``checkpoint_every``: periodic ES-state checkpoints
@@ -384,6 +390,13 @@ def train_lattice(dyn: FastDynamics, cfg: LatticeTrainConfig, log_fn=None,
     every member of a generation on the same envs/bit streams (CRN
     variance reduction — the round-3 conv unlock).
 
+    ``searcher_fn``: optional ``num_params -> searcher`` factory selecting
+    the ES algorithm (any of learn/es.py's PGPE / OpenAIES / SepCMAES /
+    full-covariance CMAES — they share the init/ask/tell protocol); the
+    default is the PGPE+ClipUp configuration every committed artifact was
+    trained with.  The round-5 searcher-axis sweeps (tools/sweep_mlp16.py)
+    drive CMAES through this hook.
+
     Returns (best_params shaped like the init, es_state, history).
     """
     import jax
@@ -399,9 +412,12 @@ def train_lattice(dyn: FastDynamics, cfg: LatticeTrainConfig, log_fn=None,
     else:
         params0 = init_turn_params(jr.PRNGKey(cfg.seed))
     flat0, unravel = ravel_pytree(params0)
-    searcher = PGPE(flat0.shape[0], popsize=cfg.popsize,
-                    center_learning_rate=0.05, radius_init=radius_init,
-                    max_speed=0.1)
+    if searcher_fn is not None:
+        searcher = searcher_fn(flat0.shape[0])
+    else:
+        searcher = PGPE(flat0.shape[0], popsize=cfg.popsize,
+                        center_learning_rate=0.05, radius_init=radius_init,
+                        max_speed=0.1)
     es_state = searcher.init(flat0)
     resumed_best = None
     if resume_from is not None:
@@ -462,7 +478,7 @@ def train_lattice(dyn: FastDynamics, cfg: LatticeTrainConfig, log_fn=None,
 
     master = jr.PRNGKey(cfg.seed)
     history = []
-    best_fit, best_center = -np.inf, np.asarray(es_state.center)
+    best_fit, best_center = -np.inf, np.asarray(_es_center(es_state))
     if resumed_best is not None:
         best_fit, best_center = resumed_best
     for epoch in range(start_epoch, cfg.epochs):
@@ -472,7 +488,7 @@ def train_lattice(dyn: FastDynamics, cfg: LatticeTrainConfig, log_fn=None,
         history.append(m)
         if m["best"] > best_fit:
             best_fit = m["best"]
-            best_center = np.asarray(es_state.center)
+            best_center = np.asarray(_es_center(es_state))
         if log_fn:
             log_fn(epoch, m)
         if checkpoint_dir and checkpoint_every and \

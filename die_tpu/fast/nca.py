@@ -186,7 +186,8 @@ def train_conv_nca(dyn: FastDynamics, cfg, hidden: int = 8, log_fn=None,
                    mesh=None, mesh_axis="pop", keep_bias: float = 0.5,
                    center_learning_rate: float = 0.05,
                    radius_init: float = 0.5, max_speed: float = 0.1,
-                   common_random_envs: bool = False, params_init=None):
+                   common_random_envs: bool = False, params_init=None,
+                   searcher_fn=None):
     """PGPE neuroevolution of the conv turn rule (cfg: LatticeTrainConfig).
 
     ``common_random_envs``: evaluate every population member of a
@@ -200,6 +201,11 @@ def train_conv_nca(dyn: FastDynamics, cfg, hidden: int = 8, log_fn=None,
     (e.g. jones_mimic_conv_params — the warm start that escapes the
     keep-only local optimum on the 16-dir lattice); default is the
     xavier+keep-bias random init from cfg.seed.
+
+    ``searcher_fn``: optional ``num_params -> searcher`` factory selecting
+    the ES algorithm (learn/es.py's shared init/ask/tell protocol —
+    e.g. full-covariance CMAES for the round-5 searcher-axis sweeps);
+    default is the PGPE configuration above.
     """
     import jax
     import jax.numpy as jnp
@@ -215,9 +221,12 @@ def train_conv_nca(dyn: FastDynamics, cfg, hidden: int = 8, log_fn=None,
         params0 = init_conv_turn_params(jr.PRNGKey(cfg.seed), hidden,
                                         keep_bias=keep_bias)
     flat0, unravel = ravel_pytree(tuple(params0))
-    searcher = PGPE(flat0.shape[0], popsize=cfg.popsize,
-                    center_learning_rate=center_learning_rate,
-                    radius_init=radius_init, max_speed=max_speed)
+    if searcher_fn is not None:
+        searcher = searcher_fn(flat0.shape[0])
+    else:
+        searcher = PGPE(flat0.shape[0], popsize=cfg.popsize,
+                        center_learning_rate=center_learning_rate,
+                        radius_init=radius_init, max_speed=max_speed)
     es_state = searcher.init(flat0)
 
     def eval_member(flat_params, member_key):
@@ -254,9 +263,11 @@ def train_conv_nca(dyn: FastDynamics, cfg, hidden: int = 8, log_fn=None,
         fitnesses, eps = unshard_population(mesh, fitnesses, eps)
         return searcher.tell(es_state, eps, fitnesses), fitnesses
 
+    from die_tpu.fast.learned import _es_center
+
     master = jr.PRNGKey(cfg.seed)
     history = []
-    best_fit, best_center = -np.inf, np.asarray(es_state.center)
+    best_fit, best_center = -np.inf, np.asarray(_es_center(es_state))
     for epoch in range(cfg.epochs):
         es_state, fits = generation(es_state, jr.fold_in(master, epoch))
         m = {"epoch": epoch, "best": float(jnp.max(fits)),
@@ -264,7 +275,7 @@ def train_conv_nca(dyn: FastDynamics, cfg, hidden: int = 8, log_fn=None,
         history.append(m)
         if m["best"] > best_fit:
             best_fit = m["best"]
-            best_center = np.asarray(es_state.center)
+            best_center = np.asarray(_es_center(es_state))
         if log_fn:
             log_fn(epoch, m)
     best = ConvTurnParams(*ravel_pytree(tuple(params0))[1](

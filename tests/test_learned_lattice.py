@@ -53,6 +53,39 @@ def test_train_lattice_smoke():
     assert all(np.isfinite(h["best"]) for h in history)
 
 
+def test_train_lattice_cmaes_searcher():
+    """The searcher_fn hook drives the full-covariance CMAES through the
+    lattice trainer (round-5 searcher axis); best params track the CMA
+    mean (the state has no .center field)."""
+    from die_tpu.learn.es import CMAES
+
+    dyn = FastDynamics(init_agent_ratio=0.2, food_infinite=True)
+    cfg = LatticeTrainConfig(field_size=(16, 16), epochs=3, epoch_iters=5,
+                             popsize=6, envs_per_eval=1, seed=3)
+    best, es_state, history = train_lattice(
+        dyn, cfg, searcher_fn=lambda d: CMAES(d, popsize=6,
+                                              stdev_init=0.1))
+    assert best.shape == (3, 7)
+    assert len(history) == 3
+    assert hasattr(es_state, "mean") and not hasattr(es_state, "center")
+    assert all(np.isfinite(h["best"]) for h in history)
+
+
+def test_train_conv_nca_cmaes_searcher():
+    from die_tpu.fast.nca import train_conv_nca
+    from die_tpu.learn.es import CMAES
+
+    dyn = FastDynamics(init_agent_ratio=0.2, food_infinite=True)
+    cfg = LatticeTrainConfig(field_size=(16, 16), epochs=2, epoch_iters=4,
+                             popsize=4, envs_per_eval=1, seed=2)
+    best, es_state, history = train_conv_nca(
+        dyn, cfg, hidden=4,
+        searcher_fn=lambda d: CMAES(d, popsize=4, stdev_init=0.1))
+    assert best.conv.shape == (4, 7, 3, 3)
+    assert len(history) == 2
+    assert all(np.isfinite(h["best"]) for h in history)
+
+
 def test_conv_nca_params_parity():
     from die_tpu.fast.nca import (
         init_conv_turn_params,

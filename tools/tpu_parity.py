@@ -235,9 +235,10 @@ def run_fast(steps, which):
     return compare(which, dict(zip(names, traj)), o_traj, list(names))
 
 
-def run_fast_learned(steps):
-    """Learned linear turn rule inside the K-step kernel (SMEM params
-    operand, round 4) vs the NumPy oracle running the same rule."""
+def run_fast_learned(steps, family="linear"):
+    """Learned turn rule inside the K-step kernel (SMEM params operand —
+    linear round 4, per-cell MLP round 5) vs the NumPy oracle running the
+    same rule."""
     import jax
     import jax.random as jr
 
@@ -245,7 +246,9 @@ def run_fast_learned(steps):
     from die_tpu.fast.config import FastDynamics
     from die_tpu.fast.init import fast_init_np
     from die_tpu.fast.learned import (
+        init_mlp_params,
         init_turn_params,
+        np_init_mlp_params,
         np_init_turn_params,
         oracle_learned_rollout,
     )
@@ -255,7 +258,12 @@ def run_fast_learned(steps):
     dyn = FastDynamics()
     names = ("occ", "dir", "agent_food", "env_food", "chem")
     rkey = jr.PRNGKey(4)
-    params = init_turn_params(jr.PRNGKey(7))
+    if family == "mlp":
+        params = init_mlp_params(jr.PRNGKey(7))
+        np_params = np_init_mlp_params(np_key(7))
+    else:
+        params = init_turn_params(jr.PRNGKey(7))
+        np_params = np_init_turn_params(np_key(7))
     interp = jax.default_backend() != "tpu"
 
     roll = lambda st, t: pallas_fast_rollout_multi(  # noqa: E731
@@ -263,7 +271,6 @@ def run_fast_learned(steps):
         turn_params=params)
     traj = _fast_traj(dyn, roll, steps, size)
 
-    np_params = np_init_turn_params(np_key(7))
     st = fast_init_np(np_key(3), size, dyn)
     o_traj = {n: np.zeros((steps,) + size, np.float32) for n in names}
     for t in range(steps):
@@ -271,8 +278,8 @@ def run_fast_learned(steps):
                                           t0=t)
         for n in names:
             o_traj[n][t] = getattr(st, n)
-    return compare("fast_pallas_learned", dict(zip(names, traj)), o_traj,
-                   list(names))
+    return compare(f"fast_pallas_learned_{family}", dict(zip(names, traj)),
+                   o_traj, list(names))
 
 
 def main():
@@ -300,6 +307,8 @@ def main():
                 run_exact(args.steps, flow=True)
             elif p == "fast_pallas_learned":
                 run_fast_learned(args.steps)
+            elif p == "fast_pallas_mlp":
+                run_fast_learned(args.steps, family="mlp")
             else:
                 run_fast(args.steps, p)
         except Exception as e:
