@@ -342,6 +342,45 @@ def test_committed_conv8_resumed_artifact_improves():
     assert conv > jones
 
 
+def test_committed_mlp16_artifact_beats_tuned_jones():
+    """The committed 16-dir per-cell MLP checkpoint (docs/artifacts/
+    lattice16_mlp.npz, trained INSIDE the kernel at ~470K env-steps/s by
+    tools/sweep_mlp16.py: held-out 689.9 vs tuned Jones 653.6 on the full
+    32-seed block) outforages the tuned Jones rule — the round-5
+    nonlinear family above the linear rule's 662.3.  Cold PGPE collapses
+    (288.9) exactly as for the other families; cold full-covariance CMAES
+    does NOT fully collapse (570.1) — the searcher-axis finding."""
+    import os
+
+    import jax.numpy as jnp
+
+    from die_tpu.fast.config import EVAL_PROTOCOL, eval_protocol_dynamics
+    from die_tpu.fast.learned import learned_fast_rollout
+    from die_tpu.fast.rollout import fast_rollout
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir, "docs",
+                        "artifacts", "lattice16_mlp.npz")
+    params = jnp.asarray(np.load(path)["params"])
+    assert params.shape[0] > 3  # the MLP family (shape-dispatched)
+    dyn = eval_protocol_dynamics(16)
+    size = (EVAL_PROTOCOL["size"],) * 2
+    steps, seed0 = EVAL_PROTOCOL["steps"], EVAL_PROTOCOL["seed0"]
+
+    def heldout(roll_fn, n_seeds=6):
+        def one(i):
+            st = fast_init_jax(jr.fold_in(jr.PRNGKey(seed0), i), size, dyn)
+            _, rewards, _ = roll_fn(st, jr.fold_in(jr.PRNGKey(seed0 + 1), i))
+            return jnp.sum(rewards)
+
+        return float(np.mean(np.asarray(
+            jax.jit(jax.vmap(one))(jnp.arange(n_seeds)))))
+
+    jones = heldout(lambda s, k: fast_rollout(dyn, s, k, steps))
+    mlp = heldout(lambda s, k: learned_fast_rollout(dyn, params, s, k,
+                                                    steps))
+    assert mlp > jones
+
+
 @pytest.mark.parametrize("dirs", [4, 8, 16])
 def test_committed_linear_artifact_beats_tuned_jones(dirs):
     """The committed LINEAR checkpoints (docs/artifacts/

@@ -1,0 +1,97 @@
+"""Round-5 follow-up: refine the 16-dir MLP artifact (held-out 689.9,
+tools/sweep_mlp16.py warm_r05_crn_e400) — warm-start from ITS center
+(not the mimic) under tighter PGPE radii and CMAES sigmas, chasing the
+conv record (692.9).  Appends to tools/sweep_mlp16_log.jsonl.
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def log(rec):
+    rec = dict(rec, ts=time.strftime("%Y-%m-%d %H:%M:%S"))
+    print(json.dumps(rec), flush=True)
+    with open("tools/sweep_mlp16_log.jsonl", "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def main():
+    from die_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    from die_tpu.fast.config import EVAL_PROTOCOL, eval_protocol_dynamics
+    from die_tpu.fast.init import fast_init_jax
+    from die_tpu.fast.learned import (
+        LatticeTrainConfig,
+        learned_fast_rollout,
+        train_lattice,
+    )
+    from die_tpu.learn.es import CMAES
+
+    DYN = eval_protocol_dynamics(16)
+    SIZE, STEPS = EVAL_PROTOCOL["size"], EVAL_PROTOCOL["steps"]
+    SELECT_SEED0, HELDOUT_SEED0 = 20_000, EVAL_PROTOCOL["seed0"]
+
+    def heldout(roll_fn, num_seeds, seed0):
+        def one(i):
+            st = fast_init_jax(jr.fold_in(jr.PRNGKey(seed0), i),
+                               (SIZE, SIZE), DYN)
+            _, rewards, _ = roll_fn(st, jr.fold_in(jr.PRNGKey(seed0 + 1), i))
+            return jnp.sum(rewards)
+
+        totals = jax.jit(jax.vmap(one))(jnp.arange(num_seeds))
+        return float(np.asarray(jnp.mean(totals)))
+
+    art0 = jnp.asarray(
+        np.load("docs/artifacts/lattice16_mlp.npz")["params"])
+    art_sel = heldout(lambda s, k: learned_fast_rollout(
+        DYN, art0, s, k, STEPS), 8, SELECT_SEED0)
+    log({"item": "refine_start", "artifact_select": art_sel})
+
+    results = [(art_sel, "artifact", np.asarray(art0))]
+    CONFIGS = [
+        ("ref_pgpe_r005", 400, 64, 10, 0.05, None),
+        ("ref_pgpe_r015", 400, 64, 11, 0.15, None),
+        ("ref_cma_s002", 400, 64, 12, None,
+         lambda d: CMAES(d, popsize=64, stdev_init=0.02)),
+        ("ref_cma_s005", 400, 64, 13, None,
+         lambda d: CMAES(d, popsize=64, stdev_init=0.05)),
+        ("ref_pgpe_p256_r015", 300, 256, 14, 0.15, None),
+    ]
+    for label, epochs, pop, seed, radius, sf in CONFIGS:
+        cfg = LatticeTrainConfig(field_size=(64, 128), epochs=epochs,
+                                 epoch_iters=STEPS, popsize=pop,
+                                 envs_per_eval=8, seed=seed)
+        t0 = time.perf_counter()
+        best, _, hist = train_lattice(
+            DYN, cfg, params_init=art0, common_random_envs=True,
+            radius_init=radius if radius is not None else 0.5,
+            searcher_fn=sf)
+        wall = time.perf_counter() - t0
+        bestj = jnp.asarray(best)
+        sel = heldout(lambda s, k: learned_fast_rollout(
+            DYN, bestj, s, k, STEPS), 8, SELECT_SEED0)
+        log({"item": "refined", "label": label, "select_score": sel,
+             "wall_s": round(wall, 1)})
+        results.append((sel, label, np.asarray(best)))
+
+    sel, label, best = max(results, key=lambda r: r[0])
+    bestj = jnp.asarray(best)
+    held = heldout(lambda s, k: learned_fast_rollout(
+        DYN, bestj, s, k, STEPS), 32, HELDOUT_SEED0)
+    log({"item": "refine_heldout", "label": label, "heldout": held})
+    if label != "artifact" and held > 689.9:
+        np.savez("docs/artifacts/lattice16_mlp.npz", params=best)
+        log({"item": "artifact_updated", "label": label, "heldout": held})
+
+
+if __name__ == "__main__":
+    main()
