@@ -29,7 +29,10 @@ from die_tpu.render.renderer import EnvRenderer
 def load_params(path):
     data = np.load(path)
     if "params" in data:
-        return "linear", jnp.asarray(data["params"])
+        p = jnp.asarray(data["params"])
+        # the rollout shape-dispatches (make_turn_rule): rows==3 linear,
+        # rows==hidden+3 the per-cell MLP (round 5)
+        return ("linear" if p.shape[0] == 3 else "mlp"), p
     bias = jnp.asarray(data["bias"]) if "bias" in data else None
     return "conv", ConvTurnParams(conv=jnp.asarray(data["conv"]),
                                   head=jnp.asarray(data["head"]),
@@ -59,7 +62,7 @@ def main():
     holder = {"state": fast_init_jax(jr.PRNGKey(args.seed), size, dyn)}
     roll_key = jr.PRNGKey(args.seed + 1)
 
-    if kind == "linear":
+    if kind in ("linear", "mlp"):
         roll = lambda s, t: learned_fast_rollout(  # noqa: E731
             dyn, params, s, roll_key, args.steps_per_frame, t)
     else:
