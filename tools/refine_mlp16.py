@@ -50,6 +50,13 @@ def main():
         totals = jax.jit(jax.vmap(one))(jnp.arange(num_seeds))
         return float(np.asarray(jnp.mean(totals)))
 
+    log({"item": "refine_boot", "backend": jax.devices()[0].platform})
+    # tiny jit first: separates "tunnel/device wedge" from "slow compile"
+    t0 = time.perf_counter()
+    float(np.asarray(jax.jit(lambda x: x + 1)(jnp.float32(1))))
+    log({"item": "refine_tiny_jit_s", "secs": round(
+        time.perf_counter() - t0, 1)})
+
     art0 = jnp.asarray(
         np.load("docs/artifacts/lattice16_mlp.npz")["params"])
     art_sel = heldout(lambda s, k: learned_fast_rollout(
