@@ -90,18 +90,27 @@ def jones_identity_params(keep_eps: float = 1e-6) -> np.ndarray:
     return p
 
 
-def make_turn_rule(params):
+def make_turn_rule(params, dyn: FastDynamics | None = None):
     """turn_rule(xp, left, fwd, right, state) -> turn in {-1, 0, +1} f32.
 
     Dispatches on the (static) params shape — the one entry point every
     engine path uses (XLA scan, whole-field kernel, banded kernel, NumPy
     oracle), including Pallas SMEM Refs, which index like the array:
-      rows == NUM_ACTIONS (f32[3, 7])  -> the LINEAR rule;
-      rows == hidden + NUM_ACTIONS     -> the per-cell MLP rule (round 5,
-                                          f32[hidden+3, >=max(8, hidden+1)]).
+      rows == NUM_ACTIONS (f32[3, 7])   -> the LINEAR rule;
+      cols == MLP_FEATURES_WIDE + 1     -> the WIDE per-cell MLP (13
+                                           features incl. in-rule far-chem
+                                           and food probe trios — needs
+                                           ``dyn`` for the probe geometry);
+      anything else (hidden + 3 rows)   -> the per-cell MLP (7 features).
     """
     if params.shape[0] == NUM_ACTIONS:
         return _make_linear_turn_rule(params)
+    if params.shape[1] == MLP_FEATURES_WIDE + 1:
+        if dyn is None:
+            raise ValueError("the wide MLP family computes probe trios "
+                             "in-rule and needs the FastDynamics (pass "
+                             "dyn=... to make_turn_rule)")
+        return make_mlp_turn_rule(params, dyn=dyn)
     return make_mlp_turn_rule(params)
 
 
@@ -145,6 +154,13 @@ def _make_linear_turn_rule(params):
 # ---------------------------------------------------------------------------
 
 MLP_FEATURES = 7  # left, fwd, right, occ, agent_food, env_food, chem
+# The WIDE family (round 5b): the plain MLP plateaued at ~690 held-out —
+# below the conv's 692.9 — suggesting missing spatial/feature context, so
+# this family adds two more kernel-cheap probe trios computed IN-RULE
+# with the engine's own sense machinery (probe_trio below):
+#   [chem@S l/f/r, chem@2S l/f/r, env_food@S l/f/r,
+#    occ, agent_food, env_food, chem]
+MLP_FEATURES_WIDE = 13
 
 
 def mlp_param_shape(hidden: int = 8):
@@ -154,12 +170,29 @@ def mlp_param_shape(hidden: int = 8):
     right) logits (hidden weights, bias at col ``hidden``).  Entries
     outside those slots are dead: zero-initialized and never read (ES
     perturbs them with no effect)."""
-    return (hidden + NUM_ACTIONS, max(MLP_FEATURES + 1, hidden + 1))
+    shape = (hidden + NUM_ACTIONS, max(MLP_FEATURES + 1, hidden + 1))
+    if shape[1] == MLP_FEATURES_WIDE + 1:
+        raise ValueError(f"hidden={hidden} collides with the wide-MLP "
+                         "shape signature; pick another width")
+    return shape
 
 
-def _mlp_live_mask(hidden: int) -> np.ndarray:
-    m = np.zeros(mlp_param_shape(hidden), np.float32)
-    m[:hidden, :MLP_FEATURES + 1] = 1.0
+def mlp_wide_param_shape(hidden: int = 8):
+    """Packed layout for the 13-feature wide MLP: layer-1 rows carry
+    MLP_FEATURES_WIDE weights + bias at col 13 (cols are the family
+    signature — see make_turn_rule); head rows as the plain MLP."""
+    if hidden + 1 > MLP_FEATURES_WIDE + 1:
+        raise ValueError("wide MLP supports hidden <= 13")
+    return (hidden + NUM_ACTIONS, MLP_FEATURES_WIDE + 1)
+
+
+def _mlp_live_mask(hidden: int, wide: bool = False) -> np.ndarray:
+    if wide:
+        m = np.zeros(mlp_wide_param_shape(hidden), np.float32)
+        m[:hidden, :MLP_FEATURES_WIDE + 1] = 1.0
+    else:
+        m = np.zeros(mlp_param_shape(hidden), np.float32)
+        m[:hidden, :MLP_FEATURES + 1] = 1.0
     m[hidden:, :hidden + 1] = 1.0
     return m
 
@@ -198,6 +231,58 @@ def np_init_mlp_params(key: np.ndarray, hidden: int = 8,
     return p
 
 
+def init_mlp_wide_params(key, hidden: int = 8, keep_bias: float = 0.5):
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    from die_tpu.core.rng import uniform01_from_bits
+
+    shape = mlp_wide_param_shape(hidden)
+    u = uniform01_from_bits(jr.bits(key, shape, jnp.uint32))
+    p = (np.float32(2.0) * u - _F1) * np.float32(0.1)
+    p = p * jnp.asarray(_mlp_live_mask(hidden, wide=True))
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    bump = ((row == hidden + 1) & (col == hidden)).astype(jnp.float32) \
+        * np.float32(keep_bias)
+    return p + bump
+
+
+def np_init_mlp_wide_params(key: np.ndarray, hidden: int = 8,
+                            keep_bias: float = 0.5) -> np.ndarray:
+    from die_tpu.core.rng import np_random_bits, uniform01_from_bits
+
+    shape = mlp_wide_param_shape(hidden)
+    u = uniform01_from_bits(np_random_bits(key, shape))
+    p = (np.float32(2.0) * u - _F1) * np.float32(0.1)
+    p = p * _mlp_live_mask(hidden, wide=True)
+    p[hidden + 1, hidden] += np.float32(keep_bias)
+    return p
+
+
+def jones_mimic_mlp_wide_params(hidden: int = 8, gain: float = 32.0,
+                                advance: float = 2.0, side: float = 1.0,
+                                keep_eps: float = 0.0) -> np.ndarray:
+    """The wide family's Jones-mimic warm start: identical to
+    jones_mimic_mlp_params on the chem@S trio (features 0-2); the far and
+    food trios start at exact zero for ES to grow."""
+    if hidden < 3:
+        raise ValueError("the Jones mimic needs >= 3 hidden units")
+    p = np.zeros(mlp_wide_param_shape(hidden), np.float32)
+    g = np.float32(gain)
+    p[0, 0], p[0, 1] = g, -g
+    p[1, 2], p[1, 1] = g, -g
+    p[2, 0], p[2, 2] = g, -g
+    a, c = np.float32(advance), np.float32(side)
+    p[hidden + 0, 0] = a
+    p[hidden + 0, 2] = c
+    p[hidden + 1, hidden] = np.float32(keep_eps)
+    p[hidden + 2, 1] = a
+    p[hidden + 2, 2] = -c
+    return p
+
+
 def jones_mimic_mlp_params(hidden: int = 8, gain: float = 32.0,
                            advance: float = 2.0, side: float = 1.0,
                            keep_eps: float = 0.0) -> np.ndarray:
@@ -229,18 +314,51 @@ def jones_mimic_mlp_params(hidden: int = 8, gain: float = 32.0,
     return p
 
 
-def make_mlp_turn_rule(params):
+def probe_trio(xp, field, dirf, n_dirs: int, dist: int):
+    """(left, fwd, right) probes of ``field`` at ``dist`` cells along each
+    cell's heading — the engine's sense-phase machinery (fast/env.py
+    lowmem form: on-demand static rolls selected through the
+    disjoint-complete ``dirf == d`` masks), exposed for learned rules
+    that read EXTRA probe trios (the wide MLP).  Identical arithmetic on
+    np / jnp / inside Mosaic kernels (static rolls; bounded live set)."""
+    from die_tpu.fast.env import _offsets, _roll
+
+    offsets = _offsets(n_dirs)
+    W, H = field.shape
+    fwd = xp.zeros((W, H), np.float32)
+    left = xp.zeros((W, H), np.float32)
+    right = xp.zeros((W, H), np.float32)
+    for q in range(n_dirs):
+        p = _roll(xp, field, (offsets[q][0] * dist, offsets[q][1] * dist))
+        fwd = xp.where(dirf == np.float32(q), p, fwd)
+        left = xp.where(dirf == np.float32((q - 1) % n_dirs), p, left)
+        right = xp.where(dirf == np.float32((q + 1) % n_dirs), p, right)
+    return left, fwd, right
+
+
+def make_mlp_turn_rule(params, dyn: FastDynamics | None = None):
     """Per-cell MLP turn rule; ``params`` is the packed array (or SMEM Ref)
-    of :func:`mlp_param_shape` layout."""
+    of :func:`mlp_param_shape` / :func:`mlp_wide_param_shape` layout.
+    The wide layout (``dyn`` required) adds two in-rule probe trios:
+    chem at 2*sense_dist and env_food at sense_dist."""
     hidden_n = params.shape[0] - NUM_ACTIONS
+    wide = params.shape[1] == MLP_FEATURES_WIDE + 1
+    n_feat = MLP_FEATURES_WIDE if wide else MLP_FEATURES
 
     def rule(xp, left, fwd, right, state: FastEnvState, bits):
-        feats = (left, fwd, right, state.occ, state.agent_food,
-                 state.env_food, state.chem)
+        feats = (left, fwd, right)
+        if wide:
+            far = probe_trio(xp, state.chem, state.dir, dyn.num_dirs,
+                             2 * dyn.sense_dist)
+            food = probe_trio(xp, state.env_food, state.dir, dyn.num_dirs,
+                              dyn.sense_dist)
+            feats = feats + far + food
+        feats = feats + (state.occ, state.agent_food, state.env_food,
+                         state.chem)
         hidden = []
         for h in range(hidden_n):
-            acc = params[h, MLP_FEATURES] * _F1  # bias
-            for f in range(MLP_FEATURES):
+            acc = params[h, n_feat] * _F1  # bias
+            for f in range(n_feat):
                 acc = acc + params[h, f] * feats[f]
             # hardtanh — explicit min/max (clip signatures differ np/jnp)
             hidden.append(xp.minimum(xp.maximum(acc, -_F1), _F1))
@@ -260,7 +378,8 @@ def make_mlp_turn_rule(params):
 
 
 def learned_fast_step(dyn: FastDynamics, params, state: FastEnvState, bits):
-    return fast_step(dyn, state, bits, turn_rule=make_turn_rule(params))
+    return fast_step(dyn, state, bits,
+                     turn_rule=make_turn_rule(params, dyn))
 
 
 def learned_fast_rollout(dyn: FastDynamics, params, state: FastEnvState,
@@ -271,7 +390,7 @@ def learned_fast_rollout(dyn: FastDynamics, params, state: FastEnvState,
     from die_tpu.fast.rollout import jax_step_bits
 
     shape = state.occ.shape
-    rule = make_turn_rule(params)
+    rule = make_turn_rule(params, dyn)
 
     def body(carry, t):
         st = carry
@@ -341,7 +460,7 @@ def oracle_learned_rollout(dyn: FastDynamics, params: np.ndarray,
                            num_steps: int, t0: int = 0):
     from die_tpu.fast.rollout import np_step_bits
 
-    rule = make_turn_rule(params)
+    rule = make_turn_rule(params, dyn)
     shape = state.occ.shape
     rewards = np.zeros(num_steps, np.float32)
     nums = np.zeros(num_steps, np.int32)

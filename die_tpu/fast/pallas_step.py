@@ -252,7 +252,7 @@ def _multi_step_kernel_body(dyn: FastDynamics, num_inner: int, keys_ref,
         from die_tpu.fast.learned import make_turn_rule
 
         # a pl Ref indexes like the params array (scalar SMEM loads)
-        turn_rule = make_turn_rule(tp_ref)
+        turn_rule = make_turn_rule(tp_ref, dyn)
 
     def body(k, carry):
         occ, dirf, afood, efood, chem, flow_step = carry
@@ -663,7 +663,7 @@ def make_pallas_banded_step(dyn: FastDynamics, field_size, num_bands: int,
             if tp_ref is not None:
                 from die_tpu.fast.learned import make_turn_rule
 
-                turn_rule = make_turn_rule(tp_ref)
+                turn_rule = make_turn_rule(tp_ref, dyn)
 
             sl = slice(r, r + Wb)
 

@@ -142,30 +142,64 @@ def naive_linear_turn(params):
     return fn
 
 
-def naive_mlp_turn(params):
+def naive_mlp_turn(params, dyn: FastDynamics | None = None):
     """Per-cell restatement of the learned MLP turn rule
     (die_tpu/fast/learned.py::make_mlp_turn_rule): ascending-order affine
-    layer-1 rows over (left, fwd, right, occ, agent_food, env_food, chem),
-    hardtanh as explicit scalar min/max, ascending-order head rows, and
-    the pinned keep>=left>=right tie-breaking."""
+    layer-1 rows, hardtanh as explicit scalar min/max, ascending-order
+    head rows, and the pinned keep>=left>=right tie-breaking.
+
+    Plain family: features (left, fwd, right, occ, agent_food, env_food,
+    chem).  WIDE family (cols == 14; needs ``dyn``): two extra probe
+    trios read directly at wrap-indexed offsets — chem at 2*sense_dist
+    and env_food at sense_dist along each cell's heading (probe q feeds
+    fwd at dir==q, left at dir==q-1, right at dir==q+1, exactly as the
+    engine's sense machinery)."""
+    from die_tpu.fast.env import _offsets
+
     params = np.asarray(params, np.float32)
     hidden_n = params.shape[0] - 3
+    wide = params.shape[1] == 14
+    n_feat = 13 if wide else 7
 
     def fn(left, fwd, right, st: FastEnvState):
         W, H = left.shape
-        feats = (left, fwd, right, np.asarray(st.occ),
-                 np.asarray(st.agent_food), np.asarray(st.env_food),
-                 np.asarray(st.chem))
+        chem = np.asarray(st.chem)
+        efood = np.asarray(st.env_food)
+        dirf = np.asarray(st.dir)
         turn = np.zeros((W, H), np.float32)
         one = np.float32(1.0)
+        if wide:
+            offsets = _offsets(dyn.num_dirs)
+
+            def probe(field, i, j, q, dist):
+                o = offsets[q]
+                return field[(i + o[0] * dist) % W, (j + o[1] * dist) % H]
+
         for i in range(W):
             for j in range(H):
+                base = (left[i, j], fwd[i, j], right[i, j])
+                if wide:
+                    d = int(dirf[i, j])
+                    n = dyn.num_dirs
+                    s2, s1 = 2 * dyn.sense_dist, dyn.sense_dist
+                    far = (probe(chem, i, j, (d + 1) % n, s2),
+                           probe(chem, i, j, d, s2),
+                           probe(chem, i, j, (d - 1) % n, s2))
+                    food = (probe(efood, i, j, (d + 1) % n, s1),
+                            probe(efood, i, j, d, s1),
+                            probe(efood, i, j, (d - 1) % n, s1))
+                    feats = base + far + food
+                else:
+                    feats = base
+                feats = feats + (np.asarray(st.occ)[i, j],
+                                 np.asarray(st.agent_food)[i, j],
+                                 efood[i, j], chem[i, j])
                 hidden = []
                 for h in range(hidden_n):
-                    acc = np.float32(params[h, 7] * one)  # bias
-                    for f in range(7):
+                    acc = np.float32(params[h, n_feat] * one)  # bias
+                    for f in range(n_feat):
                         acc = np.float32(
-                            acc + np.float32(params[h, f] * feats[f][i, j]))
+                            acc + np.float32(params[h, f] * feats[f]))
                     hidden.append(np.minimum(np.maximum(acc, -one), one))
                 logits = []
                 for a in range(3):

@@ -263,6 +263,88 @@ def test_mlp_mimic_matches_jones_on_strict_orderings():
     assert np.all(np.asarray(rule(np, zero, zero, zero, st, None)) == 0.0)
 
 
+def test_pallas_mlp_wide_matches_xla_bitwise():
+    """The WIDE MLP family (13 features, in-rule probe trios) inside the
+    K-step kernel — probes use the engine's own roll machinery, so the
+    kernel, XLA scan, and oracle stay bitwise."""
+    from die_tpu.fast.learned import init_mlp_wide_params
+
+    dyn = FastDynamics()
+    params = init_mlp_wide_params(jr.PRNGKey(7))
+    assert params.shape == (11, 14)
+    st = fast_init_jax(jr.PRNGKey(3), SIZE, dyn)
+    ref_state, ref_rew, _ = jax.jit(
+        lambda s, p: learned_fast_rollout(dyn, p, s, jr.PRNGKey(5), 6))(
+        st, params)
+    pal_state, pal_rew, _ = jax.jit(
+        lambda s, p: pallas_fast_rollout_multi(
+            dyn, s, jr.PRNGKey(5), 6, num_inner=3, interpret=True,
+            turn_params=p))(st, params)
+    assert np.array_equal(np.asarray(ref_rew), np.asarray(pal_rew))
+    _assert_states_equal(ref_state, pal_state)
+
+
+def test_pallas_mlp_wide_16dir_matches_oracle():
+    from die_tpu.core.rng import np_key
+    from die_tpu.fast.config import tuned_dynamics
+    from die_tpu.fast.learned import (
+        init_mlp_wide_params,
+        np_init_mlp_wide_params,
+    )
+
+    dyn = tuned_dynamics(16)
+    np_params = np_init_mlp_wide_params(np_key(7))
+    params = init_mlp_wide_params(jr.PRNGKey(7))
+    assert np.array_equal(np_params, np.asarray(params))
+
+    st_np = fast_init_np(np_key(3), SIZE, dyn)
+    st = fast_init_jax(jr.PRNGKey(3), SIZE, dyn)
+    o_state, o_rew, _ = oracle_learned_rollout(
+        dyn, np_params, st_np, np_key(5), 4)
+    pal_state, pal_rew, _ = jax.jit(
+        lambda s, p: pallas_fast_rollout_multi(
+            dyn, s, jr.PRNGKey(5), 4, num_inner=2, interpret=True,
+            turn_params=p))(st, params)
+    assert np.array_equal(o_rew, np.asarray(pal_rew))
+    _assert_states_equal(o_state, pal_state)
+
+
+def test_mlp_wide_mimic_matches_jones_on_strict_orderings():
+    """The wide mimic reads only the chem@S trio, so it reproduces the
+    Jones argmax exactly like the plain mimic."""
+    from die_tpu.fast.env import FastEnvState
+    from die_tpu.fast.learned import (
+        jones_mimic_mlp_wide_params,
+        make_turn_rule,
+    )
+
+    dyn = FastDynamics()
+    rule = make_turn_rule(jones_mimic_mlp_wide_params(), dyn)
+    rng = np.random.default_rng(42)
+    W = H = 32
+    fields = [rng.uniform(0, 1, (W, H)).astype(np.float32)
+              for _ in range(len(FastEnvState._fields))]
+    fields[1] = np.floor(fields[1] * 8)  # dir must be a valid lattice dir
+    st = FastEnvState(*fields)
+    left, fwd, right = [rng.uniform(0, 5, (W, H)).astype(np.float32)
+                        for _ in range(3)]
+    turn = np.asarray(rule(np, left, fwd, right, st, None))
+    keep = (fwd >= left) & (fwd >= right)
+    jones = np.where(keep, 0.0, np.where(left > right, 1.0,
+                     np.where(right > left, -1.0, np.nan))).astype(np.float32)
+    strict = ~np.isnan(jones)
+    agree = (turn[strict] == jones[strict]).mean()
+    assert agree >= 0.99, agree
+
+
+def test_mlp_wide_needs_dyn():
+    from die_tpu.fast.learned import jones_mimic_mlp_wide_params, \
+        make_turn_rule
+
+    with pytest.raises(ValueError):
+        make_turn_rule(jones_mimic_mlp_wide_params())
+
+
 def test_train_lattice_mlp_smoke():
     """train_lattice trains the MLP family when params_init has the MLP
     shape; best params come back in that shape."""

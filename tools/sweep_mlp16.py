@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--only", default=None,
                     help="comma-separated config labels to run")
     ap.add_argument("--no-artifact", action="store_true")
+    ap.add_argument("--family", default="mlp", choices=("mlp", "wide"),
+                    help="'wide' trains the 13-feature wide MLP "
+                         "(in-rule far-chem + food probe trios)")
     args = ap.parse_args()
 
     from die_tpu.utils.cache import enable_compilation_cache
@@ -72,14 +75,20 @@ def main():
 
     jones = heldout(lambda s, k: fast_rollout(DYN, s, k, STEPS), 8,
                     SELECT_SEED0)
-    log({"item": "jones_select", "dirs": args.dirs, "score": jones})
+    log({"item": "jones_select", "dirs": args.dirs, "score": jones,
+         "family": args.family})
 
-    mimic = jnp.asarray(jones_mimic_mlp_params())
+    if args.family == "wide":
+        from die_tpu.fast.learned import jones_mimic_mlp_wide_params
+
+        mimic = jnp.asarray(jones_mimic_mlp_wide_params())
+    else:
+        mimic = jnp.asarray(jones_mimic_mlp_params())
     mim_sel = heldout(lambda s, k: learned_fast_rollout(
         DYN, mimic, s, k, STEPS), 8, SELECT_SEED0)
-    log({"item": "mlp_mimic_select", "score": mim_sel})
+    log({"item": f"{args.family}_mimic_select", "score": mim_sel})
 
-    results = [(mim_sel, "mlp_mimic", np.asarray(mimic))]
+    results = [(mim_sel, f"{args.family}_mimic", np.asarray(mimic))]
 
     def cma(sigma):
         return lambda d: CMAES(d, popsize=64, stdev_init=sigma)
@@ -121,9 +130,10 @@ def main():
     held = heldout(lambda s, k: learned_fast_rollout(
         DYN, bestj, s, k, STEPS), 32, HELDOUT_SEED0)
     log({"item": "selected_heldout", "dirs": args.dirs, "label": label,
-         "heldout": held})
+         "family": args.family, "heldout": held})
     if not args.no_artifact:
-        art = f"docs/artifacts/lattice{args.dirs}_mlp.npz"
+        suffix = "mlp" if args.family == "mlp" else "mlp_wide"
+        art = f"docs/artifacts/lattice{args.dirs}_{suffix}.npz"
         np.savez(art, params=best)
         log({"item": "artifact", "path": art, "label": label,
              "heldout": held})
