@@ -342,6 +342,43 @@ def test_committed_conv8_resumed_artifact_improves():
     assert conv > jones
 
 
+def test_committed_linear16_r5_artifact_beats_original():
+    """The round-5 CMAES-refined linear checkpoint (docs/artifacts/
+    lattice16_linear_r5.npz — full-covariance CMAES sigma 0.1 resumed
+    from the 662.3 center, held-out 689.0): the round-4 'linear family
+    plateaus' conclusion was a searcher artifact.  Pinned: the refined
+    params must beat BOTH tuned Jones and the original linear artifact
+    on the held-out subsample."""
+    import os
+
+    import jax.numpy as jnp
+
+    from die_tpu.fast.config import EVAL_PROTOCOL, eval_protocol_dynamics
+    from die_tpu.fast.learned import learned_fast_rollout
+
+    base = os.path.join(os.path.dirname(__file__), os.pardir, "docs",
+                        "artifacts")
+    p_r5 = jnp.asarray(np.load(os.path.join(
+        base, "lattice16_linear_r5.npz"))["params"])
+    p_r4 = jnp.asarray(np.load(os.path.join(
+        base, "lattice16_linear.npz"))["params"])
+    dyn = eval_protocol_dynamics(16)
+    size = (EVAL_PROTOCOL["size"],) * 2
+    steps, seed0 = EVAL_PROTOCOL["steps"], EVAL_PROTOCOL["seed0"]
+
+    def heldout(params, n_seeds=6):
+        def one(i):
+            st = fast_init_jax(jr.fold_in(jr.PRNGKey(seed0), i), size, dyn)
+            _, rewards, _ = learned_fast_rollout(
+                dyn, params, st, jr.fold_in(jr.PRNGKey(seed0 + 1), i), steps)
+            return jnp.sum(rewards)
+
+        return float(np.mean(np.asarray(
+            jax.jit(jax.vmap(one))(jnp.arange(n_seeds)))))
+
+    assert heldout(p_r5) > heldout(p_r4)
+
+
 def test_committed_mlp16_artifact_beats_tuned_jones():
     """The committed 16-dir per-cell MLP checkpoint (docs/artifacts/
     lattice16_mlp.npz, trained INSIDE the kernel at ~470K env-steps/s by
