@@ -342,6 +342,51 @@ def test_committed_conv8_resumed_artifact_improves():
     assert conv > jones
 
 
+def test_committed_wide_mlp16_artifact_beats_conv_record():
+    """The WIDE MLP checkpoint (docs/artifacts/lattice16_mlp_wide.npz,
+    trained inside the kernel by tools/sweep_mlp16.py --family wide):
+    held-out **747.1** on the full 32-seed block vs the conv-NCA record's
+    692.9 and tuned Jones' 653.6 — the best forager in the repo, and the
+    first learned rule to beat the conv, via the in-rule far-chem +
+    food probe trios.  Pinned: must beat both the conv artifact and
+    Jones on the held-out subsample."""
+    import os
+
+    import jax.numpy as jnp
+
+    from die_tpu.fast.config import EVAL_PROTOCOL, eval_protocol_dynamics
+    from die_tpu.fast.learned import learned_fast_rollout
+    from die_tpu.fast.nca import ConvTurnParams, conv_nca_rollout
+    from die_tpu.fast.rollout import fast_rollout
+
+    base = os.path.join(os.path.dirname(__file__), os.pardir, "docs",
+                        "artifacts")
+    wide = jnp.asarray(np.load(os.path.join(
+        base, "lattice16_mlp_wide.npz"))["params"])
+    assert wide.shape[1] == 14  # the wide-family signature
+    cdata = np.load(os.path.join(base, "lattice16_conv_beats_jones.npz"))
+    conv = ConvTurnParams(conv=jnp.asarray(cdata["conv"]),
+                          head=jnp.asarray(cdata["head"]),
+                          bias=jnp.asarray(cdata["bias"]))
+    dyn = eval_protocol_dynamics(16)
+    size = (EVAL_PROTOCOL["size"],) * 2
+    steps, seed0 = EVAL_PROTOCOL["steps"], EVAL_PROTOCOL["seed0"]
+
+    def heldout(roll_fn, n_seeds=6):
+        def one(i):
+            st = fast_init_jax(jr.fold_in(jr.PRNGKey(seed0), i), size, dyn)
+            _, rewards, _ = roll_fn(st, jr.fold_in(jr.PRNGKey(seed0 + 1), i))
+            return jnp.sum(rewards)
+
+        return float(np.mean(np.asarray(
+            jax.jit(jax.vmap(one))(jnp.arange(n_seeds)))))
+
+    w = heldout(lambda s, k: learned_fast_rollout(dyn, wide, s, k, steps))
+    c = heldout(lambda s, k: conv_nca_rollout(dyn, conv, s, k, steps))
+    j = heldout(lambda s, k: fast_rollout(dyn, s, k, steps))
+    assert w > c > j, (w, c, j)
+
+
 def test_committed_linear16_r5_artifact_beats_original():
     """The round-5 CMAES-refined linear checkpoint (docs/artifacts/
     lattice16_linear_r5.npz — full-covariance CMAES sigma 0.1 resumed
@@ -384,9 +429,11 @@ def test_committed_mlp16_artifact_beats_tuned_jones():
     lattice16_mlp.npz, trained INSIDE the kernel at ~470K env-steps/s by
     tools/sweep_mlp16.py: held-out 689.9 vs tuned Jones 653.6 on the full
     32-seed block) outforages the tuned Jones rule — the round-5
-    nonlinear family above the linear rule's 662.3.  Cold PGPE collapses
-    (288.9) exactly as for the other families; cold full-covariance CMAES
-    does NOT fully collapse (570.1) — the searcher-axis finding."""
+    nonlinear family above the linear rule's 662.3.  (The sweep's 'cold'
+    rows at 288.9/570.1 measured the LINEAR family — a params_init=None
+    fallback, fixed in the sweep — replicating round 4's cold-linear
+    collapse and adding the cold-CMAES-doesn't-fully-collapse searcher
+    finding for it.)"""
     import os
 
     import jax.numpy as jnp

@@ -104,6 +104,17 @@ def main():
         ("warm_cma_s015", 300, 64, 1, True, None, cma(0.15)),
         ("cold_cma_s03", 300, 64, 0, False, None, cma(0.3)),
     ]
+    # cold runs must init the FAMILY being swept (params_init=None would
+    # fall back to train_lattice's linear default — the first run of this
+    # sweep hit that: its 'cold' rows measured the LINEAR family)
+    if args.family == "wide":
+        from die_tpu.fast.learned import init_mlp_wide_params
+
+        cold0 = init_mlp_wide_params(jr.PRNGKey(0))
+    else:
+        from die_tpu.fast.learned import init_mlp_params
+
+        cold0 = init_mlp_params(jr.PRNGKey(0))
     for label, epochs, pop, seed, warm, radius, sf in CONFIGS:
         if args.only and label not in args.only.split(","):
             continue
@@ -112,7 +123,7 @@ def main():
                                  envs_per_eval=8, seed=seed)
         t0 = time.perf_counter()
         best, _, hist = train_lattice(
-            DYN, cfg, params_init=mimic if warm else None,
+            DYN, cfg, params_init=mimic if warm else cold0,
             common_random_envs=True,
             radius_init=radius if radius is not None else 0.5,
             searcher_fn=sf)
