@@ -5,7 +5,7 @@ a conv perception model trained by neuroevolution): here the fixed Jones
 turn rule (argmax of three chem probes) is replaced by a parameterized
 policy over local observations, trained by the JAX-native ES stack at
 fast-engine throughput (~10^5 env-steps/s/chip vs ~10^2 for the flat-agent
-NCA path).  Two kernel-resident families, selected by the params SHAPE
+NCA path).  Three kernel-resident families, selected by the params SHAPE
 (make_turn_rule dispatch), plus the conv-NCA in fast/nca.py (XLA path):
 
 LINEAR — per-cell features (all already materialized by the step):
@@ -15,6 +15,13 @@ deterministic argmax with pinned tie-breaking (keep > left > right).
 
 MLP (round 5) — per-cell 7-feature -> hidden hardtanh -> 3-logit network
 (see the section below); the kernel-cheap NONLINEAR family.
+
+WIDE MLP (round 5) — 13 features: the MLP plus two in-rule probe trios
+(chem at 2*sense_dist, env_food at sense_dist, computed with the engine's
+own sense machinery).  The repo's best forager: held-out 755.96 vs the
+conv's 692.9 and tuned Jones' 653.6 under the pinned eval protocol,
+trained COLD by full-covariance CMAES in ~45 s on one chip
+(docs/ROADMAP.md round 5).
 
 ``fast_step`` accepts the rule through its ``turn_rule`` hook, so the
 learned path shares every other substep (movement, deposit, feeding,

@@ -247,8 +247,10 @@ def run_fast_learned(steps, family="linear"):
     from die_tpu.fast.init import fast_init_np
     from die_tpu.fast.learned import (
         init_mlp_params,
+        init_mlp_wide_params,
         init_turn_params,
         np_init_mlp_params,
+        np_init_mlp_wide_params,
         np_init_turn_params,
         oracle_learned_rollout,
     )
@@ -258,7 +260,10 @@ def run_fast_learned(steps, family="linear"):
     dyn = FastDynamics()
     names = ("occ", "dir", "agent_food", "env_food", "chem")
     rkey = jr.PRNGKey(4)
-    if family == "mlp":
+    if family == "wide":
+        params = init_mlp_wide_params(jr.PRNGKey(7))
+        np_params = np_init_mlp_wide_params(np_key(7))
+    elif family == "mlp":
         params = init_mlp_params(jr.PRNGKey(7))
         np_params = np_init_mlp_params(np_key(7))
     else:
@@ -309,6 +314,8 @@ def main():
                 run_fast_learned(args.steps)
             elif p == "fast_pallas_mlp":
                 run_fast_learned(args.steps, family="mlp")
+            elif p == "fast_pallas_mlp_wide":
+                run_fast_learned(args.steps, family="wide")
             else:
                 run_fast(args.steps, p)
         except Exception as e:
