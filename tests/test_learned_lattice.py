@@ -387,6 +387,45 @@ def test_committed_wide_mlp16_artifact_beats_conv_record():
     assert w > c > j, (w, c, j)
 
 
+@pytest.mark.parametrize("dirs", [4, 8])
+def test_committed_wide_mlp48_artifacts_beat_linear_records(dirs):
+    """The 4/8-dir wide-MLP checkpoints (docs/artifacts/
+    lattice{4,8}_mlp_wide.npz — full-block held-out 672.6 / 385.6 vs the
+    previous linear records 574.6 / 361.1 and Jones 560.7 / 283.1): the
+    wide family now holds the learned-rule record on ALL THREE lattices.
+    Pinned: wide > the committed linear artifact > nothing assumed of
+    Jones here (covered by the linear tests)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from die_tpu.fast.config import EVAL_PROTOCOL, eval_protocol_dynamics
+    from die_tpu.fast.learned import learned_fast_rollout
+
+    base = os.path.join(os.path.dirname(__file__), os.pardir, "docs",
+                        "artifacts")
+    wide = jnp.asarray(np.load(os.path.join(
+        base, f"lattice{dirs}_mlp_wide.npz"))["params"])
+    assert wide.shape[1] == 14
+    lin = jnp.asarray(np.load(os.path.join(
+        base, f"lattice{dirs}_linear.npz"))["params"])
+    dyn = eval_protocol_dynamics(dirs)
+    size = (EVAL_PROTOCOL["size"],) * 2
+    steps, seed0 = EVAL_PROTOCOL["steps"], EVAL_PROTOCOL["seed0"]
+
+    def heldout(params, n_seeds=6):
+        def one(i):
+            st = fast_init_jax(jr.fold_in(jr.PRNGKey(seed0), i), size, dyn)
+            _, rewards, _ = learned_fast_rollout(
+                dyn, params, st, jr.fold_in(jr.PRNGKey(seed0 + 1), i), steps)
+            return jnp.sum(rewards)
+
+        return float(np.mean(np.asarray(
+            jax.jit(jax.vmap(one))(jnp.arange(n_seeds)))))
+
+    assert heldout(wide) > heldout(lin)
+
+
 def test_committed_linear16_r5_artifact_beats_original():
     """The round-5 CMAES-refined linear checkpoint (docs/artifacts/
     lattice16_linear_r5.npz — full-covariance CMAES sigma 0.1 resumed
