@@ -49,7 +49,12 @@ from die_tpu.fast.rollout import fast_rollout
 def load_params(path):
     data = np.load(path)
     if "params" in data:
-        return "linear", jnp.asarray(data["params"])
+        p = jnp.asarray(data["params"])
+        # learned_fast_rollout shape-dispatches: rows==3 linear, cols==14
+        # the wide MLP, else the per-cell MLP (die_tpu/fast/learned.py)
+        kind = ("linear" if p.shape[0] == 3
+                else "wide" if p.shape[1] == 14 else "mlp")
+        return kind, p
     bias = jnp.asarray(data["bias"]) if "bias" in data else None
     return "conv", ConvTurnParams(conv=jnp.asarray(data["conv"]),
                                   head=jnp.asarray(data["head"]),
@@ -98,8 +103,8 @@ def main():
         args.size, args.seeds, T, args.seed0)
     if args.checkpoint:
         kind, params = load_params(args.checkpoint)
-        roll = (learned_fast_rollout if kind == "linear"
-                else conv_nca_rollout)
+        roll = (conv_nca_rollout if kind == "conv"
+                else learned_fast_rollout)
         out[f"trained_{kind}"] = mean_heldout_reward(
             dyn, lambda s, k: roll(dyn, params, s, k, T),
             args.size, args.seeds, T, args.seed0)
