@@ -77,6 +77,7 @@ def rollout_rates(F, B, T=256):
     from die_tpu.fast.init import fast_init_jax
     from die_tpu.fast.learned import (
         init_mlp_params,
+        init_mlp_wide_params,
         init_turn_params,
         learned_fast_rollout,
     )
@@ -102,6 +103,7 @@ def rollout_rates(F, B, T=256):
         ("linear", kernel_run(init_turn_params(jr.PRNGKey(7)))),
         ("mlp8", kernel_run(init_mlp_params(jr.PRNGKey(7)))),
         ("mlp4", kernel_run(init_mlp_params(jr.PRNGKey(7), hidden=4))),
+        ("wide8", kernel_run(init_mlp_wide_params(jr.PRNGKey(7)))),
     ]
     mlp8 = init_mlp_params(jr.PRNGKey(7))
 
