@@ -112,11 +112,11 @@ def make_turn_rule(params, dyn: FastDynamics | None = None):
     """
     if params.shape[0] == NUM_ACTIONS:
         return _make_linear_turn_rule(params)
-    if params.shape[1] == MLP_FEATURES_WIDE + 1:
+    if params.shape[1] in (MLP_FEATURES_WIDE + 1, MLP_FEATURES_CTX + 1):
         if dyn is None:
-            raise ValueError("the wide MLP family computes probe trios "
-                             "in-rule and needs the FastDynamics (pass "
-                             "dyn=... to make_turn_rule)")
+            raise ValueError("the wide/ctx MLP families compute probe "
+                             "trios in-rule and need the FastDynamics "
+                             "(pass dyn=... to make_turn_rule)")
         return make_mlp_turn_rule(params, dyn=dyn)
     return make_mlp_turn_rule(params)
 
@@ -168,6 +168,12 @@ MLP_FEATURES = 7  # left, fwd, right, occ, agent_food, env_food, chem
 #   [chem@S l/f/r, chem@2S l/f/r, env_food@S l/f/r,
 #    occ, agent_food, env_food, chem]
 MLP_FEATURES_WIDE = 13
+# The CTX family (round 5c): wide + a true spatial receptive field — a
+# per-channel (depthwise) 3x3 conv over the 7 base features, still
+# kernel-lowerable (static rolls + FMAs, ~175 extra passes), appended as
+# 7 more features.  Zeroed taps make it EXACTLY the wide rule, so the
+# 755.96 record artifact embeds as a warm start (embed_wide_into_ctx).
+MLP_FEATURES_CTX = 20  # wide 13 + 7 depthwise-conv outputs
 
 
 def mlp_param_shape(hidden: int = 8):
@@ -178,9 +184,9 @@ def mlp_param_shape(hidden: int = 8):
     outside those slots are dead: zero-initialized and never read (ES
     perturbs them with no effect)."""
     shape = (hidden + NUM_ACTIONS, max(MLP_FEATURES + 1, hidden + 1))
-    if shape[1] == MLP_FEATURES_WIDE + 1:
-        raise ValueError(f"hidden={hidden} collides with the wide-MLP "
-                         "shape signature; pick another width")
+    if shape[1] in (MLP_FEATURES_WIDE + 1, MLP_FEATURES_CTX + 1):
+        raise ValueError(f"hidden={hidden} collides with the wide/ctx "
+                         "shape signatures; pick another width")
     return shape
 
 
@@ -268,6 +274,60 @@ def np_init_mlp_wide_params(key: np.ndarray, hidden: int = 8,
     return p
 
 
+def mlp_ctx_param_shape(hidden: int = 8):
+    """Packed layout for the 20-feature ctx family (cols == 21 is the
+    family signature): rows 0..6 = depthwise 3x3 taps for the 7 base
+    fields (9 taps du-major in cols 0..8); rows 7..7+hidden-1 = layer-1
+    rows (20 weights, bias at col 20); last 3 rows = head rows (hidden
+    weights, bias at col ``hidden``)."""
+    if hidden + 1 > MLP_FEATURES_CTX + 1:
+        raise ValueError("ctx MLP supports hidden <= 20")
+    return (MLP_FEATURES + hidden + NUM_ACTIONS, MLP_FEATURES_CTX + 1)
+
+
+def init_mlp_ctx_params(key, hidden: int = 8, keep_bias: float = 0.5):
+    """Small-random init (taps included); dead slots zeroed."""
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    from die_tpu.core.rng import uniform01_from_bits
+
+    shape = mlp_ctx_param_shape(hidden)
+    u = uniform01_from_bits(jr.bits(key, shape, jnp.uint32))
+    p = (np.float32(2.0) * u - _F1) * np.float32(0.1)
+    mask = np.zeros(shape, np.float32)
+    mask[:MLP_FEATURES, :9] = 1.0                       # depthwise taps
+    mask[MLP_FEATURES:MLP_FEATURES + hidden, :] = 1.0   # layer-1 rows
+    mask[MLP_FEATURES + hidden:, :hidden + 1] = 1.0     # head rows
+    p = p * jnp.asarray(mask)
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    bump = ((row == MLP_FEATURES + hidden + 1)
+            & (col == hidden)).astype(jnp.float32) * np.float32(keep_bias)
+    return p + bump
+
+
+def embed_wide_into_ctx(wide_params: np.ndarray) -> np.ndarray:
+    """Lift a wide-family params array into the ctx layout EXACTLY: taps
+    and the 7 new feature weights start at zero, so the ctx rule computes
+    the identical turn field — the 755.96 record artifact becomes a warm
+    start with a strictly larger hypothesis space."""
+    wide_params = np.asarray(wide_params, np.float32)
+    hidden = wide_params.shape[0] - NUM_ACTIONS
+    p = np.zeros(mlp_ctx_param_shape(hidden), np.float32)
+    # layer-1: wide cols 0..12 are the same first 13 features; bias moves
+    # from col 13 to col 20 (the 7 depthwise features sit in 13..19 at 0)
+    p[MLP_FEATURES:MLP_FEATURES + hidden, :MLP_FEATURES_WIDE] = \
+        wide_params[:hidden, :MLP_FEATURES_WIDE]
+    p[MLP_FEATURES:MLP_FEATURES + hidden, MLP_FEATURES_CTX] = \
+        wide_params[:hidden, MLP_FEATURES_WIDE]
+    # head rows copy verbatim (weights cols 0..hidden-1, bias col hidden)
+    p[MLP_FEATURES + hidden:, :hidden + 1] = \
+        wide_params[hidden:, :hidden + 1]
+    return p
+
+
 def jones_mimic_mlp_wide_params(hidden: int = 8, gain: float = 32.0,
                                 advance: float = 2.0, side: float = 1.0,
                                 keep_eps: float = 0.0) -> np.ndarray:
@@ -343,18 +403,44 @@ def probe_trio(xp, field, dirf, n_dirs: int, dist: int):
     return left, fwd, right
 
 
+def depthwise3x3(xp, field, params, row: int):
+    """Depthwise 3x3 torus conv of one field with the 9 taps stored at
+    ``params[row, 0:9]`` (du-major, du/dv in {-1, 0, 1}): ordered
+    tap-by-tap accumulation of static rolls — identical on np / jnp /
+    inside Mosaic kernels."""
+    from die_tpu.fast.env import _roll
+
+    acc = None
+    k = 0
+    for du in (-1, 0, 1):
+        for dv in (-1, 0, 1):
+            shifted = _roll(xp, field, (du, dv)) if (du or dv) else field
+            term = params[row, k] * shifted
+            acc = term if acc is None else acc + term
+            k += 1
+    return acc
+
+
 def make_mlp_turn_rule(params, dyn: FastDynamics | None = None):
     """Per-cell MLP turn rule; ``params`` is the packed array (or SMEM Ref)
-    of :func:`mlp_param_shape` / :func:`mlp_wide_param_shape` layout.
-    The wide layout (``dyn`` required) adds two in-rule probe trios:
-    chem at 2*sense_dist and env_food at sense_dist."""
-    hidden_n = params.shape[0] - NUM_ACTIONS
-    wide = params.shape[1] == MLP_FEATURES_WIDE + 1
-    n_feat = MLP_FEATURES_WIDE if wide else MLP_FEATURES
+    of :func:`mlp_param_shape` / :func:`mlp_wide_param_shape` /
+    :func:`mlp_ctx_param_shape` layout.  The wide/ctx layouts (``dyn``
+    required) add in-rule probe trios (chem at 2*sense_dist, env_food at
+    sense_dist); ctx further appends 7 depthwise-3x3 conv outputs over
+    the base features."""
+    cols = params.shape[1]
+    wide = cols == MLP_FEATURES_WIDE + 1
+    ctx = cols == MLP_FEATURES_CTX + 1
+    n_feat = (MLP_FEATURES_CTX if ctx
+              else MLP_FEATURES_WIDE if wide else MLP_FEATURES)
+    dw_rows = MLP_FEATURES if ctx else 0
+    hidden_n = params.shape[0] - NUM_ACTIONS - dw_rows
 
     def rule(xp, left, fwd, right, state: FastEnvState, bits):
+        base7 = (left, fwd, right, state.occ, state.agent_food,
+                 state.env_food, state.chem)
         feats = (left, fwd, right)
-        if wide:
+        if wide or ctx:
             far = probe_trio(xp, state.chem, state.dir, dyn.num_dirs,
                              2 * dyn.sense_dist)
             food = probe_trio(xp, state.env_food, state.dir, dyn.num_dirs,
@@ -362,18 +448,25 @@ def make_mlp_turn_rule(params, dyn: FastDynamics | None = None):
             feats = feats + far + food
         feats = feats + (state.occ, state.agent_food, state.env_food,
                          state.chem)
+        if ctx:
+            # depthwise context: taps in rows 0..6, one row per base field
+            feats = feats + tuple(
+                depthwise3x3(xp, base7[c], params, c)
+                for c in range(MLP_FEATURES))
         hidden = []
         for h in range(hidden_n):
-            acc = params[h, n_feat] * _F1  # bias
+            r = dw_rows + h
+            acc = params[r, n_feat] * _F1  # bias
             for f in range(n_feat):
-                acc = acc + params[h, f] * feats[f]
+                acc = acc + params[r, f] * feats[f]
             # hardtanh — explicit min/max (clip signatures differ np/jnp)
             hidden.append(xp.minimum(xp.maximum(acc, -_F1), _F1))
         logits = []
         for a in range(NUM_ACTIONS):
-            acc = params[hidden_n + a, hidden_n] * _F1  # bias
+            r = dw_rows + hidden_n + a
+            acc = params[r, hidden_n] * _F1  # bias
             for h in range(hidden_n):
-                acc = acc + params[hidden_n + a, h] * hidden[h]
+                acc = acc + params[r, h] * hidden[h]
             logits.append(acc)
         l_left, l_keep, l_right = logits
         # pinned tie-breaking: keep >= left >= right (as the linear rule)

@@ -153,13 +153,17 @@ def naive_mlp_turn(params, dyn: FastDynamics | None = None):
     trios read directly at wrap-indexed offsets — chem at 2*sense_dist
     and env_food at sense_dist along each cell's heading (probe q feeds
     fwd at dir==q, left at dir==q-1, right at dir==q+1, exactly as the
-    engine's sense machinery)."""
+    engine's sense machinery).  CTX family (cols == 21): wide plus 7
+    depthwise-3x3 outputs — direct wrap-indexed 9-tap sums in the same
+    du-major ordered fold as learned.depthwise3x3 (taps in rows 0..6)."""
     from die_tpu.fast.env import _offsets
 
     params = np.asarray(params, np.float32)
-    hidden_n = params.shape[0] - 3
     wide = params.shape[1] == 14
-    n_feat = 13 if wide else 7
+    ctx = params.shape[1] == 21
+    n_feat = 20 if ctx else 13 if wide else 7
+    dw_rows = 7 if ctx else 0
+    hidden_n = params.shape[0] - 3 - dw_rows
 
     def fn(left, fwd, right, st: FastEnvState):
         W, H = left.shape
@@ -168,17 +172,19 @@ def naive_mlp_turn(params, dyn: FastDynamics | None = None):
         dirf = np.asarray(st.dir)
         turn = np.zeros((W, H), np.float32)
         one = np.float32(1.0)
-        if wide:
+        if wide or ctx:
             offsets = _offsets(dyn.num_dirs)
 
             def probe(field, i, j, q, dist):
                 o = offsets[q]
                 return field[(i + o[0] * dist) % W, (j + o[1] * dist) % H]
 
+        base7 = (left, fwd, right, np.asarray(st.occ),
+                 np.asarray(st.agent_food), efood, chem)
         for i in range(W):
             for j in range(H):
                 base = (left[i, j], fwd[i, j], right[i, j])
-                if wide:
+                if wide or ctx:
                     d = int(dirf[i, j])
                     n = dyn.num_dirs
                     s2, s1 = 2 * dyn.sense_dist, dyn.sense_dist
@@ -191,23 +197,36 @@ def naive_mlp_turn(params, dyn: FastDynamics | None = None):
                     feats = base + far + food
                 else:
                     feats = base
-                feats = feats + (np.asarray(st.occ)[i, j],
-                                 np.asarray(st.agent_food)[i, j],
+                feats = feats + (base7[3][i, j], base7[4][i, j],
                                  efood[i, j], chem[i, j])
+                if ctx:
+                    for c in range(7):
+                        acc = None
+                        k = 0
+                        for du in (-1, 0, 1):
+                            for dv in (-1, 0, 1):
+                                v = np.float32(
+                                    params[c, k]
+                                    * base7[c][(i + du) % W, (j + dv) % H])
+                                acc = v if acc is None else np.float32(
+                                    acc + v)
+                                k += 1
+                        feats = feats + (acc,)
                 hidden = []
                 for h in range(hidden_n):
-                    acc = np.float32(params[h, n_feat] * one)  # bias
+                    r = dw_rows + h
+                    acc = np.float32(params[r, n_feat] * one)  # bias
                     for f in range(n_feat):
                         acc = np.float32(
-                            acc + np.float32(params[h, f] * feats[f]))
+                            acc + np.float32(params[r, f] * feats[f]))
                     hidden.append(np.minimum(np.maximum(acc, -one), one))
                 logits = []
                 for a in range(3):
-                    acc = np.float32(params[hidden_n + a, hidden_n] * one)
+                    r = dw_rows + hidden_n + a
+                    acc = np.float32(params[r, hidden_n] * one)
                     for h in range(hidden_n):
                         acc = np.float32(
-                            acc + np.float32(params[hidden_n + a, h]
-                                             * hidden[h]))
+                            acc + np.float32(params[r, h] * hidden[h]))
                     logits.append(acc)
                 l_left, l_keep, l_right = logits
                 m = np.maximum(l_keep, l_left)

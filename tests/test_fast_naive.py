@@ -201,6 +201,37 @@ def test_naive_matches_learned_mlp_wide_rule(num_dirs):
                               np.asarray(getattr(n_state, name))), name
 
 
+def test_naive_matches_learned_mlp_ctx_rule():
+    """The CTX rule (wide + depthwise-3x3 context) pinned by the naive
+    per-cell restatement (direct wrap-indexed 9-tap sums)."""
+    from die_tpu.fast.env import fast_step
+    from die_tpu.fast.learned import make_turn_rule, init_mlp_ctx_params
+    from die_tpu.fast.rollout import np_step_bits
+    from die_tpu.oracle.fast_naive import naive_fast_rollout, naive_mlp_turn
+
+    import jax.random as jr
+
+    dyn = FastDynamics(num_dirs=8, sense_dist=2)
+    params = np.asarray(init_mlp_ctx_params(jr.PRNGKey(61), hidden=4))
+    size = (8, 8)
+    st = fast_init_np(np_key(62), size, dyn)
+
+    rule = make_turn_rule(params, dyn)
+    e_state = st
+    e_rewards = []
+    for t in range(4):
+        bits = np_step_bits(dyn, np_key(63), t, size)
+        e_state, r, _ = fast_step(dyn, e_state, bits, turn_rule=rule)
+        e_rewards.append(r)
+    n_state, n_rewards, _ = naive_fast_rollout(
+        dyn, st, np_key(63), 4,
+        turn_rule_naive=naive_mlp_turn(params, dyn))
+    np.testing.assert_array_equal(np.asarray(e_rewards), n_rewards)
+    for name in ("occ", "dir", "agent_food", "env_food", "chem"):
+        assert np.array_equal(np.asarray(getattr(e_state, name)),
+                              np.asarray(getattr(n_state, name))), name
+
+
 @pytest.mark.parametrize("num_dirs", [8, 16])
 def test_naive_matches_conv_nca_rule(num_dirs):
     """The conv-NCA turn rule's logic pinned by the naive per-cell

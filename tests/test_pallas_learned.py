@@ -337,6 +337,48 @@ def test_mlp_wide_mimic_matches_jones_on_strict_orderings():
     assert agree >= 0.99, agree
 
 
+def test_pallas_mlp_ctx_matches_xla_bitwise():
+    """The CTX family (wide + depthwise-3x3 context, 20 features) inside
+    the K-step kernel."""
+    from die_tpu.fast.learned import init_mlp_ctx_params
+
+    dyn = FastDynamics()
+    params = init_mlp_ctx_params(jr.PRNGKey(7))
+    assert params.shape == (18, 21)
+    st = fast_init_jax(jr.PRNGKey(3), SIZE, dyn)
+    ref_state, ref_rew, _ = jax.jit(
+        lambda s, p: learned_fast_rollout(dyn, p, s, jr.PRNGKey(5), 6))(
+        st, params)
+    pal_state, pal_rew, _ = jax.jit(
+        lambda s, p: pallas_fast_rollout_multi(
+            dyn, s, jr.PRNGKey(5), 6, num_inner=3, interpret=True,
+            turn_params=p))(st, params)
+    assert np.array_equal(np.asarray(ref_rew), np.asarray(pal_rew))
+    _assert_states_equal(ref_state, pal_state)
+
+
+def test_ctx_embedding_of_wide_is_exact():
+    """embed_wide_into_ctx lifts a wide params array into the ctx layout
+    with zero taps — the ctx rollout must be BITWISE identical to the
+    wide rollout (the 755.96 record becomes an exact warm start)."""
+    from die_tpu.fast.config import tuned_dynamics
+    from die_tpu.fast.learned import (
+        embed_wide_into_ctx,
+        init_mlp_wide_params,
+    )
+
+    dyn = tuned_dynamics(16)
+    wide = init_mlp_wide_params(jr.PRNGKey(3))
+    ctx = jnp.asarray(embed_wide_into_ctx(np.asarray(wide)))
+    st = fast_init_jax(jr.PRNGKey(4), SIZE, dyn)
+    w_state, w_rew, _ = jax.jit(
+        lambda s: learned_fast_rollout(dyn, wide, s, jr.PRNGKey(5), 6))(st)
+    c_state, c_rew, _ = jax.jit(
+        lambda s: learned_fast_rollout(dyn, ctx, s, jr.PRNGKey(5), 6))(st)
+    assert np.array_equal(np.asarray(w_rew), np.asarray(c_rew))
+    _assert_states_equal(w_state, c_state)
+
+
 def test_mlp_wide_needs_dyn():
     from die_tpu.fast.learned import jones_mimic_mlp_wide_params, \
         make_turn_rule
