@@ -387,6 +387,47 @@ def test_committed_wide_mlp16_artifact_beats_conv_record():
     assert w > c > j, (w, c, j)
 
 
+def test_committed_ctx16_artifact_beats_conv_record():
+    """The CTX checkpoint (docs/artifacts/lattice16_mlp_ctx.npz — warm
+    CMAES s0.1 from the embedded wide record: held-out 756.4 vs the wide
+    755.96 and conv 692.9).  The depthwise context bought +0.5 at these
+    budgets — marginal, reported as such (docs/ROADMAP.md round 5c);
+    pinned only against the conv record and Jones."""
+    import os
+
+    import jax.numpy as jnp
+
+    from die_tpu.fast.config import EVAL_PROTOCOL, eval_protocol_dynamics
+    from die_tpu.fast.learned import learned_fast_rollout
+    from die_tpu.fast.nca import ConvTurnParams, conv_nca_rollout
+
+    base = os.path.join(os.path.dirname(__file__), os.pardir, "docs",
+                        "artifacts")
+    ctx = jnp.asarray(np.load(os.path.join(
+        base, "lattice16_mlp_ctx.npz"))["params"])
+    assert ctx.shape[1] == 21  # the ctx-family signature
+    cdata = np.load(os.path.join(base, "lattice16_conv_beats_jones.npz"))
+    conv = ConvTurnParams(conv=jnp.asarray(cdata["conv"]),
+                          head=jnp.asarray(cdata["head"]),
+                          bias=jnp.asarray(cdata["bias"]))
+    dyn = eval_protocol_dynamics(16)
+    size = (EVAL_PROTOCOL["size"],) * 2
+    steps, seed0 = EVAL_PROTOCOL["steps"], EVAL_PROTOCOL["seed0"]
+
+    def heldout(roll_fn, n_seeds=6):
+        def one(i):
+            st = fast_init_jax(jr.fold_in(jr.PRNGKey(seed0), i), size, dyn)
+            _, rewards, _ = roll_fn(st, jr.fold_in(jr.PRNGKey(seed0 + 1), i))
+            return jnp.sum(rewards)
+
+        return float(np.mean(np.asarray(
+            jax.jit(jax.vmap(one))(jnp.arange(n_seeds)))))
+
+    c = heldout(lambda s, k: learned_fast_rollout(dyn, ctx, s, k, steps))
+    v = heldout(lambda s, k: conv_nca_rollout(dyn, conv, s, k, steps))
+    assert c > v
+
+
 @pytest.mark.parametrize("dirs", [4, 8])
 def test_committed_wide_mlp48_artifacts_beat_linear_records(dirs):
     """The 4/8-dir wide-MLP checkpoints (docs/artifacts/
