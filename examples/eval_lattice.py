@@ -53,7 +53,8 @@ def load_params(path):
         # learned_fast_rollout shape-dispatches: rows==3 linear, cols==14
         # the wide MLP, else the per-cell MLP (die_tpu/fast/learned.py)
         kind = ("linear" if p.shape[0] == 3
-                else "wide" if p.shape[1] == 14 else "mlp")
+                else "wide" if p.shape[1] == 14
+                else "ctx" if p.shape[1] == 21 else "mlp")
         return kind, p
     bias = jnp.asarray(data["bias"]) if "bias" in data else None
     return "conv", ConvTurnParams(conv=jnp.asarray(data["conv"]),

@@ -30,9 +30,12 @@ def load_params(path):
     data = np.load(path)
     if "params" in data:
         p = jnp.asarray(data["params"])
-        # the rollout shape-dispatches (make_turn_rule): rows==3 linear,
-        # rows==hidden+3 the per-cell MLP (round 5)
-        return ("linear" if p.shape[0] == 3 else "mlp"), p
+        # the rollout shape-dispatches (make_turn_rule): rows==3 linear;
+        # cols==14 wide, cols==21 ctx, else the per-cell MLP (round 5)
+        kind = ("linear" if p.shape[0] == 3
+                else "wide" if p.shape[1] == 14
+                else "ctx" if p.shape[1] == 21 else "mlp")
+        return kind, p
     bias = jnp.asarray(data["bias"]) if "bias" in data else None
     return "conv", ConvTurnParams(conv=jnp.asarray(data["conv"]),
                                   head=jnp.asarray(data["head"]),
@@ -62,7 +65,7 @@ def main():
     holder = {"state": fast_init_jax(jr.PRNGKey(args.seed), size, dyn)}
     roll_key = jr.PRNGKey(args.seed + 1)
 
-    if kind in ("linear", "mlp"):
+    if kind != "conv":
         roll = lambda s, t: learned_fast_rollout(  # noqa: E731
             dyn, params, s, roll_key, args.steps_per_frame, t)
     else:

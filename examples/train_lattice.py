@@ -38,7 +38,7 @@ from die_tpu.utils.metrics import JsonlSink, MultiSink, StdoutSink
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="linear",
-                    choices=["linear", "mlp", "wide", "conv"])
+                    choices=["linear", "mlp", "wide", "ctx", "conv"])
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--epochs", type=int, default=50)
     ap.add_argument("--iters", type=int, default=50)
@@ -76,7 +76,7 @@ def main():
     sink = MultiSink(StdoutSink(every=1),
                      JsonlSink(os.path.join(run_dir, f"{stamp}.jsonl")))
 
-    if args.model in ("linear", "mlp", "wide"):
+    if args.model in ("linear", "mlp", "wide", "ctx"):
         params_init = None
         if args.model == "mlp":
             import jax.random as jr
@@ -92,6 +92,13 @@ def main():
 
             params_init = init_mlp_wide_params(jr.PRNGKey(args.seed),
                                                hidden=args.hidden)
+        elif args.model == "ctx":
+            import jax.random as jr
+
+            from die_tpu.fast.learned import init_mlp_ctx_params
+
+            params_init = init_mlp_ctx_params(jr.PRNGKey(args.seed),
+                                              hidden=args.hidden)
         best, es_state, history = train_lattice(
             dyn, cfg, log_fn=sink, params_init=params_init,
             searcher_fn=searcher_fn, common_random_envs=True)

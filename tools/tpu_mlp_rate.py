@@ -76,6 +76,7 @@ def rollout_rates(F, B, T=256):
     from die_tpu.fast.config import FastDynamics
     from die_tpu.fast.init import fast_init_jax
     from die_tpu.fast.learned import (
+        init_mlp_ctx_params,
         init_mlp_params,
         init_mlp_wide_params,
         init_turn_params,
@@ -104,6 +105,7 @@ def rollout_rates(F, B, T=256):
         ("mlp8", kernel_run(init_mlp_params(jr.PRNGKey(7)))),
         ("mlp4", kernel_run(init_mlp_params(jr.PRNGKey(7), hidden=4))),
         ("wide8", kernel_run(init_mlp_wide_params(jr.PRNGKey(7)))),
+        ("ctx8", kernel_run(init_mlp_ctx_params(jr.PRNGKey(7)))),
     ]
     mlp8 = init_mlp_params(jr.PRNGKey(7))
 
