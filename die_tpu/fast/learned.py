@@ -18,10 +18,10 @@ MLP (round 5) — per-cell 7-feature -> hidden hardtanh -> 3-logit network
 
 WIDE MLP (round 5) — 13 features: the MLP plus two in-rule probe trios
 (chem at 2*sense_dist, env_food at sense_dist, computed with the engine's
-own sense machinery).  The repo's best forager: held-out 755.96 vs the
-conv's 692.9 and tuned Jones' 653.6 under the pinned eval protocol,
-trained COLD by full-covariance CMAES in ~45 s on one chip
-(docs/ROADMAP.md round 5).
+own sense machinery).  The repo's best forager: held-out 760.14 vs the
+conv's 692.9 and tuned Jones' 653.6 under the pinned eval protocol —
+trained COLD by full-covariance CMAES in ~45 s on one chip, then a
+variance-halved 16-envs/eval warm CMAES leg (docs/ROADMAP.md round 5).
 
 ``fast_step`` accepts the rule through its ``turn_rule`` hook, so the
 learned path shares every other substep (movement, deposit, feeding,
