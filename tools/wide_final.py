@@ -56,19 +56,22 @@ def main():
     log({"item": "final_boot", "backend": jax.devices()[0].platform})
     record = jnp.asarray(
         np.load("docs/artifacts/lattice16_mlp_wide.npz")["params"])
-    RECORD_SELECT, RECORD_HELD = 752.88, 755.96
+    # leg 2 (after the 760.14 update): chain from the CURRENT artifact
+    RECORD_SELECT, RECORD_HELD = 763.14, 760.14
 
     results = []
     CONFIGS = [
-        ("final_warm_cma_s01_env16", 300, 64, 50, "warm", 0.1),
-        ("final_cold_cma_s03_env16", 400, 64, 51, "cold", 0.3),
+        ("final2_warm_cma_s01_env16", 300, 64, 52, "warm", 0.1),
+        ("final2_warm_cma_s005_env16", 300, 64, 53, "warm", 0.05),
+        ("final2_warm_cma_s01_env32", 300, 64, 54, "warm32", 0.1),
     ]
     for label, epochs, pop, seed, start, sigma in CONFIGS:
         cfg = LatticeTrainConfig(field_size=(64, 128), epochs=epochs,
                                  epoch_iters=STEPS, popsize=pop,
-                                 envs_per_eval=16, seed=seed)
-        p0 = record if start == "warm" else init_mlp_wide_params(
-            jr.PRNGKey(0))
+                                 envs_per_eval=32 if start == "warm32"
+                                 else 16, seed=seed)
+        p0 = record if start in ("warm", "warm32") \
+            else init_mlp_wide_params(jr.PRNGKey(0))
         t0 = time.perf_counter()
         trained, _, _ = train_lattice(
             DYN, cfg, params_init=p0, common_random_envs=True,
