@@ -344,12 +344,12 @@ def test_committed_conv8_resumed_artifact_improves():
 
 def test_committed_wide_mlp16_artifact_beats_conv_record():
     """The WIDE MLP checkpoint (docs/artifacts/lattice16_mlp_wide.npz,
-    trained inside the kernel by tools/sweep_mlp16.py --family wide):
-    held-out **747.1** on the full 32-seed block vs the conv-NCA record's
-    692.9 and tuned Jones' 653.6 — the best forager in the repo, and the
-    first learned rule to beat the conv, via the in-rule far-chem +
-    food probe trios.  Pinned: must beat both the conv artifact and
-    Jones on the held-out subsample."""
+    trained inside the kernel — final held-out **760.14** on the full
+    32-seed block after the warm-PGPE 747.1, cold-CMAES 755.96, and
+    16-envs/eval warm-CMAES 760.14 legs) vs the conv-NCA record's 692.9
+    and tuned Jones' 653.6 — the best forager in the repo, via the
+    in-rule far-chem + food probe trios.  Pinned: must beat both the
+    conv artifact and Jones on the held-out subsample."""
     import os
 
     import jax.numpy as jnp
